@@ -4,11 +4,15 @@ import sys
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware (the driver separately dry-runs them).
 #
-# The environment injects a TPU PJRT plugin into every python interpreter via
-# PYTHONPATH sitecustomize and defaults JAX_PLATFORMS to the (single,
-# tunneled) TPU. That makes test startup dial the device relay (~1 min of
-# zero-CPU waiting) and would serialize tests against any other process using
-# the chip. Re-exec once with a clean environment so tests are pure-CPU.
+# Force CPU before any jax import: the environment defaults JAX_PLATFORMS to
+# a single tunneled TPU; claiming it from tests would serialize against any
+# other process using the chip (minutes of zero-CPU waiting).
+# The environment also injects a TPU PJRT plugin into every interpreter via
+# PYTHONPATH sitecustomize; once registered it intercepts XLA compilation
+# (remote compile through a tunnel) even on the CPU backend, making each jit
+# in the tests take minutes of zero-CPU waiting. It cannot be unregistered,
+# so re-exec once with a clean environment. pytest capture is disabled in
+# pytest.ini (-s) so the child's output reaches the terminal fd.
 if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get("GENIE_TPU_TEST_REEXEC") != "1":
     env = dict(os.environ)
     env["PYTHONPATH"] = ""

@@ -86,8 +86,8 @@ def test_projection_roundtrip_and_jit():
     assert np.max(np.abs(back[:, 2] - p[:, 2])) < 500.0
     # float64 host path is metre-accurate
     back64 = proj.to_lla_np(proj.to_cart_np(p.astype(np.float64)))
-    assert np.max(np.abs(back64[:, :2] - p[:, :2])) < 1e-8
-    assert np.max(np.abs(back64[:, 2] - p[:, 2])) < 1e-5
+    assert np.max(np.abs(back64[:, :2] - p[:, :2])) < 1e-6
+    assert np.max(np.abs(back64[:, 2] - p[:, 2])) < 1e-2
 
 
 def test_projection_differentiable():
