@@ -1,0 +1,128 @@
+"""Graph construction: spatial grids, kNN tables, time pointers, pick pairs.
+
+TPU-native equivalents of the reference's graph machinery:
+  * k-means-packed source grids (utils.py:160-497 packing family,
+    assemble_network_data.py:121-159) — Lloyd iterations fully on device;
+  * station / source kNN graphs (train_GENIE_model.py:1140-1141);
+  * travel-time time-pointer tables (utils.py:602-643) — stored as
+    per-station ``(n_sta, n_dt, k)`` *source-index* tables, which makes the
+    reference's station-subset relabelling arithmetic unnecessary;
+  * co-station pick-pair tables for the association attention head
+    (replacing the per-station all-pairs edge list of module.py:713-717).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genie_tpu.ops.knn import knn, knn_graph
+from genie_tpu.ops.segment import segment_mean
+
+
+def kmeans_packing(key, scale_x, offset_x, n_clusters: int, to_cart,
+                   weight=None, n_batch: int = 3000, n_steps: int = 1000,
+                   lr: float = 0.01):
+    """Pack ``n_clusters`` nodes quasi-uniformly over the projected domain by
+    stochastic Lloyd iterations (ref utils.py:160-238). Runs jitted on
+    device; ``weight`` optionally re-weights Cartesian axes (the reference's
+    depth-importance weighting)."""
+    scale_x = jnp.asarray(scale_x, jnp.float32).reshape(1, -1)
+    offset_x = jnp.asarray(offset_x, jnp.float32).reshape(1, -1)
+    w = jnp.ones((1, 3), jnp.float32) if weight is None else jnp.asarray(weight, jnp.float32).reshape(1, -1)
+
+    k0, key = jax.random.split(key)
+    v = jax.random.uniform(k0, (n_clusters, 3)) * scale_x + offset_x
+
+    def step(v, k):
+        x = jax.random.uniform(k, (n_batch, 3)) * scale_x + offset_x
+        vc = to_cart(v) * w
+        xc = to_cart(x) * w
+        idx, _ = knn(vc, xc, 1)
+        ip = idx[:, 0]
+        update = segment_mean(x - v[ip], ip, n_clusters)
+        return v + lr * update, None
+
+    keys = jax.random.split(key, n_steps)
+    v, _ = jax.lax.scan(step, v, keys)
+    return v
+
+
+def build_station_graph(sta_cart, k: int, sta_mask=None):
+    """Station kNN graph (k=8), distances in km as the reference
+    (train_GENIE_model.py:1140: /1000 scaling)."""
+    return knn_graph(jnp.asarray(sta_cart) / 1000.0, k, mask=sta_mask)
+
+
+def build_source_graph(src_cart, k: int):
+    """Source-grid kNN graph (k=15)."""
+    nbr, _ = knn_graph(jnp.asarray(src_cart) / 1000.0, k)
+    return nbr
+
+
+def build_query_attachment(src_cart, x_query_cart, k: int = 10):
+    """kNN of query points into the source grid for SpatialAttention
+    (module.py:282: knn on /1000-scaled coordinates)."""
+    idx, _ = knn(jnp.asarray(src_cart) / 1000.0, jnp.asarray(x_query_cart) / 1000.0, k)
+    return idx
+
+
+@partial(jax.jit, static_argnames=("k", "n_dt"))
+def _time_ptr_one_phase(trv_phase, dt_partition, k: int, n_dt: int):
+    # trv_phase: (n_src, n_sta) → per station: k sources nearest each t bin
+    d = jnp.abs(trv_phase.T[:, None, :] - dt_partition[None, :, None])  # (n_sta, n_dt, n_src)
+    _, idx = jax.lax.top_k(-d, k)
+    return idx.astype(jnp.int32)
+
+
+def build_time_pointers(trv, dt: float = 1.0, k: int = 10, win: float = 10.0,
+                        max_t: float | None = None):
+    """Per-(station, time-bin) tables of the k source nodes whose theoretical
+    travel time is nearest the bin (ref utils.py:602-643). Returns
+    ``(ptr_p, ptr_s, dt0, dt, n_dt)`` with ptr_* of shape (n_sta, n_dt, k)
+    holding *source* indices."""
+    trv = jnp.asarray(trv)
+    if max_t is None:
+        max_t = float(jnp.max(trv))
+    dt_partition = np.arange(-win, win + max_t + dt, dt, dtype=np.float32)
+    n_dt = len(dt_partition)
+    dt_part = jnp.asarray(dt_partition)
+    ptr_p = _time_ptr_one_phase(trv[:, :, 0], dt_part, k, n_dt)
+    ptr_s = _time_ptr_one_phase(trv[:, :, 1], dt_part, k, n_dt)
+    return ptr_p, ptr_s, float(dt_partition[0]), float(dt), n_dt
+
+
+@partial(jax.jit, static_argnames=("k_pair",))
+def build_pair_table(tpick, ipick, pick_mask, k_pair: int = 16):
+    """For every pick, the ``k_pair`` nearest-in-time picks at the same
+    station (self included, ranked first), plus one trailing null slot.
+
+    Replaces the reference's per-station itertools-product edge list
+    (module.py:713-717): with its 2·eps time sparsification the effective
+    fan-in is small, so a fixed nearest-in-time cap is the dense equivalent.
+    Returns (pair_idx (n_pick, k_pair+1), pair_valid) — index n_pick = null.
+    """
+    n_pick = tpick.shape[0]
+    same_sta = ipick[:, None] == ipick[None, :]
+    both = pick_mask[:, None] & pick_mask[None, :]
+    d = jnp.abs(tpick[:, None] - tpick[None, :])
+    d = jnp.where(same_sta & both, d, jnp.inf)
+    neg, idx = jax.lax.top_k(-d, min(k_pair, n_pick))
+    valid = jnp.isfinite(neg)
+    idx = jnp.where(valid, idx, n_pick)  # invalid slots point at null (masked)
+    null_col = jnp.full((n_pick, 1), n_pick, idx.dtype)
+    pair_idx = jnp.concatenate((idx, null_col), axis=1).astype(jnp.int32)
+    pair_valid = jnp.concatenate((valid, pick_mask[:, None]), axis=1)
+    return pair_idx, pair_valid
+
+
+def build_edge_feat(src_lla, sta_lla, scale_x_extend):
+    """Bipartite read-in/out edge features: (src − sta)/scale in lat/lon/depth
+    units (train_GENIE_model.py:1697)."""
+    src_lla = jnp.asarray(src_lla)
+    sta_lla = jnp.asarray(sta_lla)
+    scale = jnp.asarray(scale_x_extend, jnp.float32).reshape(1, 1, 3)
+    return (src_lla[:, None, :] - sta_lla[None, :, :]) / scale
