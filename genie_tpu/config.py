@@ -150,8 +150,8 @@ class SyntheticConfig:
     use_extra_nearby_moveouts: bool = True
     use_shallow_sources: bool = False
     use_aftershocks: bool = True  # 10% clustered events, ref :567-579
-    max_events: int = 256   # static pad: events per T window
-    max_picks_total: int = 16384  # static pad: picks per T window
+    max_events: int = 128   # static pad: events per T window
+    n_false_max: int = 4096  # static pad: false picks per T window
 
 
 @dataclass

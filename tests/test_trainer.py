@@ -1,0 +1,90 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from genie_tpu.config import Config
+from genie_tpu.models.detector import Detector
+from genie_tpu.models.travel_time import HomogeneousTravelTime
+from genie_tpu.geometry import Projection
+from genie_tpu.train.trainer import (
+    build_domain_context,
+    generate_batch,
+    init_train_state,
+    make_train_step,
+)
+
+
+def tiny_config():
+    cfg = Config()
+    cfg.graph.max_sta = 16
+    cfg.graph.n_spatial_nodes = 50
+    cfg.graph.n_grids = 2
+    cfg.graph.max_picks = 64
+    cfg.graph.k_sta_edges = 4
+    cfg.graph.k_spc_edges = 6
+    cfg.graph.k_time_edges = 5
+    cfg.graph.k_spatial_attn = 5
+    cfg.graph.k_pick_pairs = 6
+    cfg.train.n_batch = 2
+    cfg.train.n_spc_query = 40
+    cfg.train.n_src_query = 10
+    cfg.synth.max_events = 16
+    cfg.synth.n_false_max = 64
+    cfg.synth.T = 600.0
+    cfg.synth.max_rate_events = 8.0
+    cfg.synth.dist_range = (15e3, 150e3)
+    return cfg
+
+
+def tiny_domain(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    n_sta = cfg.graph.max_sta
+    n_src = cfg.graph.n_spatial_nodes
+    n_grids = cfg.graph.n_grids
+    sta_cart = rng.uniform(-60e3, 60e3, (n_sta, 3)).astype(np.float32)
+    sta_cart[:, 2] = rng.uniform(-1e3, 1e3, n_sta)
+    proj = Projection.from_center(cfg.region.center)
+    sta_lla = np.asarray(proj.to_lla_np(sta_cart), np.float32)
+    grids_cart = rng.uniform(-80e3, 80e3, (n_grids, n_src, 3)).astype(np.float32)
+    grids_cart[:, :, 2] = rng.uniform(-40e3, 2e3, (n_grids, n_src))
+    grids_lla = np.stack([np.asarray(proj.to_lla_np(g), np.float32) for g in grids_cart])
+    tt = HomogeneousTravelTime(proj)
+    trv_grids = np.stack([
+        np.asarray(tt.from_cart(jnp.asarray(sta_cart), jnp.asarray(g)))
+        for g in grids_cart
+    ])
+    ctx = build_domain_context(cfg, sta_lla, sta_cart, grids_lla, grids_cart, trv_grids)
+    return ctx, tt
+
+
+def test_generate_batch_shapes():
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    wb = generate_batch(jax.random.PRNGKey(0), cfg, ctx, tt.from_cart)
+    B, n_src, n_sta = cfg.train.n_batch, 50, 16
+    assert wb.feat.shape == (B, n_src, n_sta, 4)
+    assert wb.tpick.shape == (B, cfg.graph.max_picks)
+    assert wb.lbl_grid.shape == (B, n_src, 9)
+    assert wb.lbl_query.shape == (B, cfg.train.n_spc_query, 9)
+    assert wb.lbl_assoc.shape == (B, cfg.train.n_src_query, cfg.graph.max_picks, 2)
+    for leaf in jax.tree.leaves(wb):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
+    # features must light up somewhere (events produce picks near moveouts)
+    assert float(wb.feat.max()) > 0.5
+    # labels in [0, 1]
+    assert float(wb.lbl_grid.max()) <= 1.0 + 1e-5
+    assert float(wb.lbl_grid.min()) >= 0.0
+
+
+def test_train_step_runs_and_improves():
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    model = Detector(src_chunk=5)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+    step, _ = make_train_step(model, cfg, ctx, tt.from_cart)
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, jax.random.PRNGKey(i + 1))
+        assert np.isfinite(float(metrics["loss"]))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 3
