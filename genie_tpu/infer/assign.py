@@ -1,0 +1,147 @@
+"""Competitive assignment of picks to candidate sources.
+
+Replaces the reference's cvxpy integer program (``competitive_assignment``,
+process_utils.py:879-1043) with an exact decomposition + local search that
+needs no external ILP solver:
+
+  Variables: w[arrival, source, phase] ∈ {0,1}, source activation a[q].
+  Constraints: each arrival assigned to ≤1 (source, phase); for each
+  (station, source, phase) at most one arrival; w ≤ a.
+  Objective: maximize Σ weight·w − cost·Σ a.
+
+Key structure: GIVEN an active source set, the inner problem decomposes per
+station into small optimal bipartite matchings (arrivals at that station ×
+(active source, phase) slots) — solved exactly with
+``scipy.optimize.linear_sum_assignment``. Source activation is then a
+set-function optimization handled by greedy descent + single-flip local
+search, which is exact for the component sizes the pipeline produces
+(components are split to ≤ max_sources ≈ 15 sources upstream, matching the
+reference's spectral splitting).
+
+``competitive_assignment_split`` (ref :1045-1209) is the relaxed variant used
+to divide picks between two source clusters: the per-(station, source, phase)
+capacity is lifted, which makes the inner problem a simple per-arrival argmax.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+
+def _inner_assignment(weights, active, min_weight=0.0):
+    """Optimal pick→(source, phase) assignment for a fixed active set.
+
+    weights: (n_arv, n_src, 2); returns (total, assign) where
+    assign[i] = (q, ph) or (-1, -1).
+    """
+    n_arv, n_src, _ = weights.shape
+    assign = -np.ones((n_arv, 2), dtype=np.int64)
+    act = np.where(active)[0]
+    if len(act) == 0:
+        return 0.0, assign
+    total = 0.0
+    # decompose by station is implicit: the caller passes per-station blocks;
+    # here we require rows of `weights` to be arrivals of ONE station.
+    w = weights[:, act, :].reshape(n_arv, len(act) * 2)
+    w = np.where(w > min_weight, w, 0.0)
+    # maximize → minimize negative; pad so assignment is optional
+    rows, cols = linear_sum_assignment(-w)
+    for r, c in zip(rows, cols):
+        if w[r, c] > 0.0:
+            q, ph = act[c // 2], c % 2
+            assign[r] = (q, ph)
+            total += w[r, c]
+    return total, assign
+
+
+def _solve_given_active(weights, ipick, active, min_weight=0.0):
+    """Per-station decomposition; returns (total, assign (n_arv, 2))."""
+    n_arv = weights.shape[0]
+    assign = -np.ones((n_arv, 2), dtype=np.int64)
+    total = 0.0
+    for s in np.unique(ipick):
+        rows = np.where(ipick == s)[0]
+        t, a = _inner_assignment(weights[rows], active, min_weight)
+        total += t
+        assign[rows] = a
+    return total, assign
+
+
+def competitive_assignment(weights, ipick, cost, min_weight: float = 0.0,
+                           force_n_sources: int | None = None):
+    """Solve the activation + assignment problem.
+
+    weights: (n_arv, n_src, 2) association scores (thresholded upstream);
+    ipick: (n_arv,) station of each arrival; cost: activation penalty per
+    source (ref `cost`); returns (assign (n_arv, 2), active (n_src,) bool).
+    """
+    n_arv, n_src, _ = weights.shape
+    if n_arv == 0 or n_src == 0:
+        return -np.ones((n_arv, 2), np.int64), np.zeros(n_src, bool)
+
+    active = np.ones(n_src, bool)
+    best_total, best_assign = _solve_given_active(weights, ipick, active, min_weight)
+    best_obj = best_total - cost * active.sum()
+
+    improved = True
+    while improved:
+        improved = False
+        # try flipping each source (drop if active, add if not)
+        order = np.argsort([weights[:, q, :].sum() for q in range(n_src)])
+        for q in order:
+            if force_n_sources is not None and active.sum() <= force_n_sources and active[q]:
+                continue
+            cand = active.copy()
+            cand[q] = ~cand[q]
+            t, a = _solve_given_active(weights, ipick, cand, min_weight)
+            obj = t - cost * cand.sum()
+            if obj > best_obj + 1e-9:
+                best_obj, best_total, best_assign = obj, t, a
+                active = cand
+                improved = True
+    # sources with no assigned picks are inactive
+    used = np.zeros(n_src, bool)
+    for i in range(n_arv):
+        if best_assign[i, 0] >= 0:
+            used[best_assign[i, 0]] = True
+    active = active & used
+    return best_assign, active
+
+
+def competitive_assignment_split(weights, ipick, cost):
+    """Relaxed variant (per-(station,source,phase) capacity lifted, ref
+    b2=1e5 :1045-1209): each arrival independently takes its best positive
+    (source, phase); used to split picks between source clusters."""
+    n_arv, n_src, _ = weights.shape
+    assign = -np.ones((n_arv, 2), np.int64)
+    if n_arv == 0:
+        return assign, np.zeros(n_src, bool)
+    flat = weights.reshape(n_arv, -1)
+    best = flat.argmax(axis=1)
+    val = flat[np.arange(n_arv), best]
+    ok = val > 0
+    assign[ok, 0] = best[ok] // 2
+    assign[ok, 1] = best[ok] % 2
+    active = np.zeros(n_src, bool)
+    active[np.unique(assign[ok, 0])] = True
+    return assign, active
+
+
+def maximize_bipartite_assignment(srcs_a, srcs_b, sig_x=15e3, sig_t=5.0,
+                                  min_weight=0.01):
+    """Optimal 1-1 matching of two catalogs on Gaussian space-time affinity —
+    the reference's evaluation-metric machinery (process_utils.py:1463-1540).
+
+    srcs_*: (n, 4) arrays of (x, y, z, t) in Cartesian metres/seconds.
+    Returns (idx_a, idx_b) matched index arrays.
+    """
+    if len(srcs_a) == 0 or len(srcs_b) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    d2 = ((srcs_a[:, None, :3] - srcs_b[None, :, :3]) ** 2).sum(-1) / sig_x**2
+    dt2 = (srcs_a[:, None, 3] - srcs_b[None, :, 3]) ** 2 / sig_t**2
+    w = np.exp(-0.5 * d2) * np.exp(-0.5 * dt2)
+    w = np.where(w > min_weight, w, 0.0)
+    rows, cols = linear_sum_assignment(-w)
+    keep = w[rows, cols] > 0
+    return rows[keep], cols[keep]

@@ -1,0 +1,122 @@
+"""Spatio-temporal clustering of candidate detections.
+
+``local_marching`` re-implements the reference's ``LocalMarching``
+mean-shift-like clustering (process_utils.py:40-100): build an ε-graph over
+candidates that are close in time (``tc_win``) and space (``sp_win``, depth
+down-weighted), find connected components, and within each component keep
+iteratively-propagated local maxima of the detection value.
+
+Union-find connected components replace networkx (SURVEY §2.10); the whole
+routine is host-side NumPy — it runs on a few hundred candidates per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class UnionFind:
+    def __init__(self, n):
+        self.p = np.arange(n)
+
+    def find(self, a):
+        while self.p[a] != a:
+            self.p[a] = self.p[self.p[a]]
+            a = self.p[a]
+        return a
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[ra] = rb
+
+
+def connected_components(n, edges):
+    uf = UnionFind(n)
+    for a, b in edges:
+        uf.union(a, b)
+    roots = np.array([uf.find(i) for i in range(n)])
+    _, labels = np.unique(roots, return_inverse=True)
+    return labels
+
+
+def local_marching(cands, values, tc_win: float = 5.0, sp_win: float = 17.5e3,
+                   depth_weight: float = 0.25, n_steps: int = 30):
+    """cands: (n, 4) (x, y, z, t) Cartesian; values: (n,) detection scores.
+
+    Returns indices of surviving local maxima (one per cluster core).
+    """
+    n = len(cands)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    if n == 1:
+        return np.zeros(1, np.int64)
+
+    pos = cands[:, :3].copy()
+    pos[:, 2] *= depth_weight  # depth down-weighted as the reference
+    t = cands[:, 3]
+
+    close_t = np.abs(t[:, None] - t[None, :]) < tc_win
+    d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
+    adj = close_t & (d2 < sp_win**2)
+    np.fill_diagonal(adj, False)
+
+    ii, jj = np.where(adj)
+    labels = connected_components(n, zip(ii.tolist(), jj.tolist()))
+
+    # iterative max-propagation: a candidate survives if it still holds the
+    # maximum of its neighbourhood after value flooding (ref :70-100)
+    v = values.copy()
+    for _ in range(n_steps):
+        v_new = v.copy()
+        for i in range(n):
+            nb = np.where(adj[i])[0]
+            if len(nb):
+                v_new[i] = max(v[i], v[nb].max())
+        if np.allclose(v_new, v):
+            break
+        v = v_new
+
+    keep = []
+    for lab in np.unique(labels):
+        members = np.where(labels == lab)[0]
+        # the member whose original value equals the flooded component max
+        comp_max = values[members].max()
+        best = members[np.argmax(values[members])]
+        keep.append(best)
+    return np.array(sorted(keep), np.int64)
+
+
+def find_peaks_1d(x, thresh: float, min_spacing: int = 1):
+    """Local maxima above ``thresh`` with minimum index spacing — the
+    reference's scipy ``find_peaks`` usage (process_continuous_days.py:846).
+    Vectorized NumPy; returns peak indices."""
+    x = np.asarray(x)
+    n = len(x)
+    if n < 3:
+        return np.zeros(0, np.int64)
+    is_peak = (x[1:-1] >= x[:-2]) & (x[1:-1] > x[2:]) & (x[1:-1] > thresh)
+    idx = np.where(is_peak)[0] + 1
+    if min_spacing > 1 and len(idx) > 1:
+        keep = []
+        order = idx[np.argsort(-x[idx])]  # by height
+        taken = np.zeros(n, bool)
+        for i in order:
+            if not taken[max(0, i - min_spacing):i + min_spacing + 1].any():
+                keep.append(i)
+                taken[i] = True
+        idx = np.array(sorted(keep), np.int64)
+    return idx
+
+
+def split_time_groups(times, break_win: float):
+    """Split sorted candidate times at gaps ≥ break_win
+    (process_continuous_days.py:851-890). Returns list of index arrays."""
+    times = np.asarray(times)
+    if len(times) == 0:
+        return []
+    order = np.argsort(times)
+    ts = times[order]
+    breaks = np.where(np.diff(ts) >= break_win)[0]
+    groups = np.split(order, breaks + 1)
+    return [np.sort(g) for g in groups]
