@@ -1,0 +1,113 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from genie_tpu.models.detector import Detector
+from genie_tpu.infer.pipeline import InferencePipeline, self_check_featurization
+from genie_tpu.train.trainer import init_train_state
+
+from tests.test_trainer import tiny_config, tiny_domain
+
+
+def test_self_check_featurization():
+    """The reference's embedded scatter-overflow self-check (:651-697):
+    planted picks must light up the featurization at the true source cells."""
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    ok_hit, ok_miss = self_check_featurization(ctx, tt.from_cart,
+                                               cfg.train.src_t_kernel)
+    assert ok_hit
+    assert ok_miss
+
+
+def test_pipeline_end_to_end_smoke():
+    """Full day-pipeline mechanics on an untrained model: must run through
+    sweep → peaks → clustering → association → location without error."""
+    cfg = tiny_config()
+    cfg.process.thresh = 0.05  # untrained model produces small outputs
+    cfg.process.thresh_assoc = 0.02
+    cfg.process.min_required_picks = 3
+    cfg.process.min_required_sta = 2
+    ctx, tt = tiny_domain(cfg)
+    model = Detector(src_chunk=4)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+    pipe = InferencePipeline(model, state.params, cfg, ctx, tt.from_cart)
+
+    # fabricate a 3-minute span with 2 planted events
+    rng = np.random.default_rng(0)
+    n_sta = ctx.sta_cart.shape[0]
+    trv = np.asarray(ctx.trv_grids[0])
+    pick_t, pick_sta, pick_ph = [], [], []
+    for s_idx, t_ev in ((3, 40.0), (17, 120.0)):
+        for st in range(n_sta):
+            pick_t.append(t_ev + trv[s_idx, st, 0] + rng.normal(0, 0.1))
+            pick_sta.append(st)
+            pick_ph.append(0)
+            pick_t.append(t_ev + trv[s_idx, st, 1] + rng.normal(0, 0.15))
+            pick_sta.append(st)
+            pick_ph.append(1)
+    # noise picks
+    for _ in range(30):
+        pick_t.append(rng.uniform(0, 180))
+        pick_sta.append(rng.integers(0, n_sta))
+        pick_ph.append(rng.integers(0, 2))
+    order = np.argsort(pick_t)
+    pick_t = np.array(pick_t, np.float32)[order]
+    pick_sta = np.array(pick_sta, np.int64)[order]
+    pick_ph = np.array(pick_ph, np.float32)[order]
+
+    events = pipe.process(pick_t, pick_sta, pick_ph, 0.0, 180.0)
+    assert isinstance(events, list)
+    for ev in events:
+        assert np.isfinite(ev.pos_cart).all()
+        assert np.isfinite(ev.time)
+
+
+def test_associate_and_locate_with_perfect_weights(monkeypatch):
+    """Bypass the (untrained) network: patch the association forward with
+    oracle weights and verify assignment+location recover the planted event."""
+    cfg = tiny_config()
+    cfg.process.min_required_picks = 5
+    cfg.process.min_required_sta = 3
+    ctx, tt = tiny_domain(cfg)
+    model = Detector(src_chunk=4)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+    pipe = InferencePipeline(model, state.params, cfg, ctx, tt.from_cart)
+
+    rng = np.random.default_rng(1)
+    n_sta = ctx.sta_cart.shape[0]
+    true_pos = np.array([5e3, -10e3, -8e3], np.float32)
+    true_t = 60.0
+    trv = np.asarray(tt.from_cart(ctx.sta_cart, jnp.asarray(true_pos[None])))[0]
+    pick_t, pick_sta, pick_ph = [], [], []
+    for st in range(n_sta):
+        pick_t.append(true_t + trv[st, 0]); pick_sta.append(st); pick_ph.append(0)
+        pick_t.append(true_t + trv[st, 1]); pick_sta.append(st); pick_ph.append(1)
+    pick_t = np.array(pick_t, np.float32)
+    pick_sta = np.array(pick_sta, np.int64)
+    pick_ph = np.array(pick_ph, np.float32)
+
+    def oracle_assoc(tp, ip, ph, pm, xq, tq, grid):
+        # weight 1 for picks matching theoretical times of the query source
+        tp, ip, ph, pm = map(np.asarray, (tp, ip, ph, pm))
+        xq, tq = np.asarray(xq), np.asarray(tq)
+        n_q, n_p = len(xq), len(tp)
+        w_p = np.zeros((n_q, n_p), np.float32)
+        w_s = np.zeros((n_q, n_p), np.float32)
+        for q in range(n_q):
+            trv_q = np.asarray(tt.from_cart(ctx.sta_cart, jnp.asarray(xq[q][None])))[0]
+            dp = np.abs(tp - (trv_q[ip, 0] + tq[q]))
+            ds = np.abs(tp - (trv_q[ip, 1] + tq[q]))
+            w_p[q] = np.exp(-0.5 * dp**2 / 1.0) * pm
+            w_s[q] = np.exp(-0.5 * ds**2 / 1.0) * pm
+        return jnp.asarray(w_p), jnp.asarray(w_s)
+
+    monkeypatch.setattr(pipe, "_assoc_fn", oracle_assoc)
+    srcs = np.array([[4e3, -11e3, -9e3, true_t + 0.5]])  # near-truth candidate
+    events = pipe.associate(pick_t, pick_sta, pick_ph, srcs)
+    assert len(events) == 1
+    assert len(events[0].picks) >= n_sta  # most picks associated
+    located = pipe.locate(events, pick_t, pick_sta)
+    assert len(located) == 1
+    assert np.linalg.norm(located[0].pos_cart - true_pos) < 5e3
+    assert abs(located[0].time - true_t) < 1.0
