@@ -1,0 +1,85 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from genie_tpu.calibration.corrections import (
+    TravelTimeCorrection,
+    fit_corrections,
+    interp_knn_mean,
+    interp_weighted,
+    matched_catalog_stats,
+)
+from genie_tpu.geometry import Projection
+from genie_tpu.models.magnitude import MagnitudeModel, fit_magnitude_model
+from genie_tpu.models.travel_time import HomogeneousTravelTime
+
+
+def test_interpolators_constant_field():
+    rng = np.random.default_rng(0)
+    grid = rng.uniform(-50e3, 50e3, (40, 3)).astype(np.float32)
+    coefs = np.full((40, 5, 2), 3.0, np.float32)
+    src = rng.uniform(-40e3, 40e3, (7, 3)).astype(np.float32)
+    for f in (interp_knn_mean, interp_weighted):
+        out = np.asarray(f(jnp.asarray(grid), jnp.asarray(coefs), jnp.asarray(src)))
+        assert out.shape == (7, 5, 2)
+        assert np.allclose(out, 3.0, atol=1e-5)
+
+
+def test_fit_corrections_recovers_station_bias():
+    """Observed times = base + constant per-station bias → corrections must
+    absorb most of it."""
+    rng = np.random.default_rng(1)
+    proj = Projection.from_center((40.0, -124.0))
+    tt = HomogeneousTravelTime(proj)
+    n_sta, n_grid, n_ev = 8, 30, 60
+    sta = rng.uniform(-50e3, 50e3, (n_sta, 3)).astype(np.float32)
+    grid = rng.uniform(-60e3, 60e3, (n_grid, 3)).astype(np.float32)
+    src = rng.uniform(-40e3, 40e3, (n_ev, 3)).astype(np.float32)
+    true_bias = rng.normal(0, 0.5, (1, n_sta, 2)).astype(np.float32)
+    obs = np.asarray(tt.from_cart(jnp.asarray(sta), jnp.asarray(src))) + true_bias
+    mask = np.ones_like(obs)
+    coefs, loss = fit_corrections(
+        jax.random.PRNGKey(0), tt.from_cart, jnp.asarray(sta), grid,
+        jnp.asarray(src), jnp.asarray(obs), jnp.asarray(mask),
+        n_steps=400, w_smooth=0.1, w_norm=1e-4)
+    corr = TravelTimeCorrection(tt.from_cart, grid, coefs)
+    pred = np.asarray(corr.from_cart(jnp.asarray(sta), jnp.asarray(src)))
+    resid_before = np.abs(np.asarray(tt.from_cart(jnp.asarray(sta), jnp.asarray(src))) - obs).mean()
+    resid_after = np.abs(pred - obs).mean()
+    assert resid_after < 0.35 * resid_before
+
+
+def test_magnitude_fit_and_invert():
+    rng = np.random.default_rng(2)
+    n_sta, n_grid, n_obs = 10, 20, 300
+    sta = rng.uniform(-50e3, 50e3, (n_sta, 3)).astype(np.float32)
+    sta[:, 2] = 0.0
+    grid = rng.uniform(-60e3, 60e3, (n_grid, 3)).astype(np.float32)
+    ev = rng.uniform(-40e3, 40e3, (n_obs, 3)).astype(np.float32)
+    ev[:, 2] = rng.uniform(-20e3, -2e3, n_obs)
+    sta_idx = rng.integers(0, n_sta, n_obs)
+    phase = rng.integers(0, 2, n_obs)
+    mag = rng.uniform(0.5, 5.0, n_obs).astype(np.float32)
+    # synthetic amplitudes from a known law
+    d_epi = np.linalg.norm(ev[:, :2] - sta[sta_idx, :2], axis=1)
+    log_amp = (1.0 * mag - 1.5 * np.log10(d_epi + 1.0)
+               + rng.normal(0, 0.05, n_obs)).astype(np.float32)
+    model, params = fit_magnitude_model(
+        jax.random.PRNGKey(0), sta, grid, ev, sta_idx, phase, log_amp, mag,
+        n_steps=800)
+    mag_inv = np.asarray(model.apply(
+        params, jnp.asarray(ev), jnp.asarray(sta), jnp.asarray(grid),
+        jnp.asarray(sta_idx, jnp.int32), jnp.asarray(phase, jnp.int32),
+        log_amp=jnp.asarray(log_amp)))
+    err = np.abs(mag_inv - mag)
+    assert np.median(err) < 0.25
+
+
+def test_matched_catalog_stats():
+    det = np.array([[0, 0, -5e3, 10.0], [50e3, 0, -5e3, 100.0]])
+    ref = np.array([[1e3, 0, -5e3, 10.5], [50e3, 1e3, -5e3, 99.5],
+                    [0, 90e3, -5e3, 300.0]])
+    s = matched_catalog_stats(det, ref, mags_ref=np.array([2.0, 3.0, 1.5]))
+    assert s["n_matched"] == 2
+    assert abs(s["detection_rate"] - 2 / 3) < 1e-9
+    assert s["detection_rate_M2"] == 1.0
