@@ -96,6 +96,54 @@ def locate_source(key, trv_from_cart, sta_cart, tpick, ipick, phase, pick_mask,
     return x[:3], x[3], c
 
 
+@partial(jax.jit, static_argnames=("popsize", "n_iter", "fn"))
+def pso_minimize(fn, bounds_lo, bounds_hi, key, popsize: int = 64,
+                 n_iter: int = 100, w: float = 0.7, c1: float = 1.5,
+                 c2: float = 1.5):
+    """Vectorized particle-swarm optimizer — the reference's alternative
+    locator (``MLE_particle_swarm_location_with_hull``,
+    process_utils.py:1358-1461), with bound clipping standing in for the
+    convex-hull projection."""
+    d = bounds_lo.shape[0]
+    k0, k1, key = jax.random.split(key, 3)
+    pos = bounds_lo + (bounds_hi - bounds_lo) * jax.random.uniform(k0, (popsize, d))
+    vel = 0.1 * (bounds_hi - bounds_lo) * jax.random.normal(k1, (popsize, d))
+    cost = fn(pos)
+    pbest, pbest_c = pos, cost
+    gbest = pos[jnp.argmin(cost)]
+    gbest_c = cost.min()
+
+    def step(carry, k):
+        pos, vel, pbest, pbest_c, gbest, gbest_c = carry
+        ka, kb = jax.random.split(k)
+        r1 = jax.random.uniform(ka, pos.shape)
+        r2 = jax.random.uniform(kb, pos.shape)
+        vel = w * vel + c1 * r1 * (pbest - pos) + c2 * r2 * (gbest[None] - pos)
+        pos = jnp.clip(pos + vel, bounds_lo, bounds_hi)
+        cost = fn(pos)
+        better = cost < pbest_c
+        pbest = jnp.where(better[:, None], pos, pbest)
+        pbest_c = jnp.where(better, cost, pbest_c)
+        ib = jnp.argmin(pbest_c)
+        return (pos, vel, pbest, pbest_c, pbest[ib], pbest_c[ib]), None
+
+    (pos, vel, pbest, pbest_c, gbest, gbest_c), _ = jax.lax.scan(
+        step, (pos, vel, pbest, pbest_c, gbest, gbest_c),
+        jax.random.split(key, n_iter))
+    return gbest, gbest_c
+
+
+def locate_source_pso(key, trv_from_cart, sta_cart, tpick, ipick, phase,
+                      pick_mask, bounds_lo, bounds_hi, popsize: int = 128,
+                      n_iter: int = 120, trim_fraction: float = 0.2):
+    obj = make_location_objective(trv_from_cart, sta_cart, tpick, ipick, phase,
+                                  pick_mask, trim_fraction)
+    x, c = pso_minimize(obj, jnp.asarray(bounds_lo, jnp.float32),
+                        jnp.asarray(bounds_hi, jnp.float32), key,
+                        popsize=popsize, n_iter=n_iter)
+    return x[:3], x[3], c
+
+
 def location_uncertainty(trv_from_cart, sta_cart, pos, t0, tpick, ipick, phase,
                          pick_mask, sig_t: float = 1.0):
     """Gauss-Newton covariance of the located source from travel-time

@@ -241,18 +241,31 @@ class InferencePipeline:
             ps = np.where(labels[n_src:] == lab)[0]
             if len(ps) == 0:
                 continue
-            sub_w = w[np.ix_(qs, ps)].transpose(1, 0, 2)  # (n_arv, n_src_sub, 2)
-            assign, active = competitive_assignment(
-                sub_w, ip[ps], cost=cfg.process.cost_assignment)
-            for qi, q in enumerate(qs):
-                rows = np.where((assign[:, 0] == qi))[0]
-                if len(rows) == 0:
+            # oversized components: spectral split (ref :1269-1441)
+            if len(qs) > cfg.process.max_sources_per_component:
+                from genie_tpu.infer.split import split_component
+                parts = split_component(
+                    w[np.ix_(qs, ps)], ip[ps], srcs[qs, :3], srcs[qs, 3],
+                    cfg.process.max_sources_per_component,
+                    max_splits=cfg.process.max_splits)
+                parts = [(qs[q_l], ps[p_l]) for q_l, p_l in parts]
+            else:
+                parts = [(qs, ps)]
+            for qs_p, ps_p in parts:
+                if len(ps_p) == 0 or len(qs_p) == 0:
                     continue
-                pick_rows = ps[rows]
-                results.append(CatalogEvent(
-                    pos_cart=srcs[q, :3].copy(), time=float(srcs[q, 3]),
-                    picks=sel[pick_rows], pick_phases=assign[rows, 1].copy(),
-                ))
+                sub_w = w[np.ix_(qs_p, ps_p)].transpose(1, 0, 2)
+                assign, active = competitive_assignment(
+                    sub_w, ip[ps_p], cost=cfg.process.cost_assignment)
+                for qi, q in enumerate(qs_p):
+                    rows = np.where((assign[:, 0] == qi))[0]
+                    if len(rows) == 0:
+                        continue
+                    pick_rows = ps_p[rows]
+                    results.append(CatalogEvent(
+                        pos_cart=srcs[q, :3].copy(), time=float(srcs[q, 3]),
+                        picks=sel[pick_rows], pick_phases=assign[rows, 1].copy(),
+                    ))
         return results
 
     # -- stage 7: location --------------------------------------------------
