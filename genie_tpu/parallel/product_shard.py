@@ -1,0 +1,160 @@
+"""Source-partitioned product-graph parallelism (pod-scale config).
+
+BASELINE config 5: ~1000 stations × ~1M source nodes — the dense product
+tensor no longer fits one chip. Partition the *source* axis over the mesh:
+
+  * station-axis aggregation (``A_prod_sta_sta``) is embarrassingly local —
+    each shard holds complete station rows for its sources;
+  * source-axis aggregation (``A_prod_src_src``) needs neighbour source rows
+    that may live on other shards. Because the source kNN graph is static
+    per grid, the halo is precomputed: for every ordered shard pair (i → j)
+    the exact rows i must send to j. At run time one ``all_to_all`` over ICI
+    exchanges the halos, then the aggregation is a purely local fixed-k
+    gather into [local ‖ halo] rows.
+
+Partitioning is by sorted spatial order (Morton-style z-curve on the source
+positions), so kNN neighbours are overwhelmingly on-shard and the halo is a
+thin boundary layer. All shapes static; halos padded to the max across
+shard pairs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class SrcPartition(NamedTuple):
+    n_shards: int
+    n_local: int
+    halo_pad: int            # H: per-pair halo row budget
+    perm: jnp.ndarray        # (n_src,) original → sorted order
+    inv_perm: jnp.ndarray    # (n_src,)
+    send_idx: jnp.ndarray    # (n_shards, n_shards, H) local row ids to send i→j
+    send_valid: jnp.ndarray  # (n_shards, n_shards, H) bool
+    local_nbr: jnp.ndarray   # (n_shards, n_local, k) neighbour ids in local frame:
+                             #   [0, n_local) local rows, n_local + p*H + h = halo
+    nbr_valid: jnp.ndarray   # (n_shards, n_local, k) bool
+
+
+def _morton_order(pos):
+    """Sort positions along a z-curve for spatial locality."""
+    p = np.asarray(pos, np.float64)
+    q = ((p - p.min(0)) / np.maximum(np.ptp(p, 0), 1e-9) * 1023).astype(np.uint64)
+
+    def spread(x):
+        x &= 0x3FF
+        x = (x | (x << 16)) & 0x30000FF
+        x = (x | (x << 8)) & 0x300F00F
+        x = (x | (x << 4)) & 0x30C30C3
+        x = (x | (x << 2)) & 0x9249249
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return np.argsort(code, kind="stable")
+
+
+def build_partition(src_pos, src_nbr, n_shards: int) -> SrcPartition:
+    """Host-side construction of the static halo-exchange plan."""
+    n_src, k = np.asarray(src_nbr).shape
+    assert n_src % n_shards == 0, "pad the source grid to a shard multiple"
+    n_local = n_src // n_shards
+    perm = _morton_order(src_pos)
+    inv_perm = np.argsort(perm)
+
+    # neighbours in sorted frame
+    nbr_sorted = inv_perm[np.asarray(src_nbr)[perm]]     # (n_src, k)
+    owner = np.arange(n_src) // n_local                  # shard of each sorted row
+
+    send: dict[tuple[int, int], list[int]] = {}
+    for j in range(n_shards):
+        rows = nbr_sorted[j * n_local:(j + 1) * n_local]
+        for i in np.unique(owner[rows.reshape(-1)]):
+            if i == j:
+                continue
+            need = np.unique(rows.reshape(-1)[owner[rows.reshape(-1)] == i])
+            send[(int(i), int(j))] = sorted(need.tolist())
+
+    H = max((len(v) for v in send.values()), default=1)
+    send_idx = np.zeros((n_shards, n_shards, H), np.int32)
+    send_valid = np.zeros((n_shards, n_shards, H), bool)
+    recv_pos: dict[tuple[int, int], dict[int, int]] = {}
+    for (i, j), rows in send.items():
+        send_idx[i, j, :len(rows)] = np.asarray(rows) - i * n_local  # local frame of sender
+        send_valid[i, j, :len(rows)] = True
+        recv_pos[(i, j)] = {r: h for h, r in enumerate(rows)}
+
+    # local-frame neighbour table per shard: halo row for sorted-global id g
+    # owned by shard p sits at n_local + p*H + h (receiver j's halo layout
+    # concatenates the per-sender blocks in sender order)
+    local_nbr = np.zeros((n_shards, n_local, k), np.int32)
+    nbr_valid = np.ones((n_shards, n_local, k), bool)
+    for j in range(n_shards):
+        rows = nbr_sorted[j * n_local:(j + 1) * n_local]
+        out = np.zeros_like(rows)
+        for a in range(n_local):
+            for b in range(k):
+                g = rows[a, b]
+                p = owner[g]
+                if p == j:
+                    out[a, b] = g - j * n_local
+                else:
+                    h = recv_pos[(int(p), j)][int(g)]
+                    out[a, b] = n_local + p * H + h
+        local_nbr[j] = out
+
+    return SrcPartition(
+        n_shards=n_shards, n_local=n_local, halo_pad=H,
+        perm=jnp.asarray(perm, jnp.int32), inv_perm=jnp.asarray(inv_perm, jnp.int32),
+        send_idx=jnp.asarray(send_idx), send_valid=jnp.asarray(send_valid),
+        local_nbr=jnp.asarray(local_nbr), nbr_valid=jnp.asarray(nbr_valid),
+    )
+
+
+def halo_exchange(x_local, send_idx_row, axis_name: str):
+    """Inside shard_map: exchange halo rows with all shards.
+
+    x_local: (n_local, ...) this shard's rows (sorted frame);
+    send_idx_row: (n_shards, H) rows to send to each shard.
+    Returns (n_shards, H, ...) — block p holds rows received FROM shard p.
+    """
+    send = x_local[send_idx_row]                       # (n_shards, H, ...)
+    return jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0,
+                              tiled=False)
+
+
+def sharded_gather_mean_src_axis(x_local, part: SrcPartition, shard_id,
+                                 axis_name: str):
+    """Source-axis fixed-k mean aggregation under source partitioning.
+
+    x_local: (n_local, n_sta, C) — this shard's product rows.
+    Equivalent to ``gather_mean_src_axis`` on the unsharded (sorted) tensor.
+    """
+    halo = halo_exchange(x_local, part.send_idx[shard_id], axis_name)
+    n_sh, H = halo.shape[0], halo.shape[1]
+    x_ext = jnp.concatenate(
+        (x_local, halo.reshape((n_sh * H,) + x_local.shape[1:])), axis=0)
+    nbr = part.local_nbr[shard_id]                     # (n_local, k)
+    g = x_ext[nbr]                                     # (n_local, k, n_sta, C)
+    return g.mean(axis=1)
+
+
+def sharded_src_aggregation(x_sorted, part: SrcPartition, mesh: Mesh,
+                            axis_name: str = "src"):
+    """Convenience wrapper: apply the sharded source-axis aggregation to a
+    full (n_src_sorted, n_sta, C) tensor laid out over the mesh."""
+    from jax import shard_map
+
+    def f(x_local):
+        sid = jax.lax.axis_index(axis_name)
+        return sharded_gather_mean_src_axis(x_local, part, sid, axis_name)
+
+    fn = shard_map(f, mesh=mesh,
+                   in_specs=P(axis_name, None, None),
+                   out_specs=P(axis_name, None, None))
+    return fn(x_sorted)
