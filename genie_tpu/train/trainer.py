@@ -140,6 +140,13 @@ def loss_fn(model: Detector, params, ctx: DomainContext, cfg: Config,
     return (w * losses).sum(), (losses, trgts.sum(axis=0), preds.sum(axis=0))
 
 
+def make_generate_batch(cfg: Config, ctx: DomainContext, trv_from_cart):
+    """Jitted batch generator (for standalone use; inside train_step the
+    call is already under jit). Eager use would dispatch hundreds of small
+    ops — painful on remote/tunneled backends."""
+    return jax.jit(lambda key: generate_batch(key, cfg, ctx, trv_from_cart))
+
+
 def generate_batch(key, cfg: Config, ctx: DomainContext, trv_from_cart) -> WindowBatch:
     k1, k2 = jax.random.split(key)
     n_sta = ctx.sta_cart.shape[0]
@@ -191,7 +198,7 @@ def init_train_state(model: Detector, cfg: Config, ctx: DomainContext,
     if optimizer is None:
         optimizer = optax.adam(cfg.train.lr)
     kd, ki = jax.random.split(key)
-    wb = generate_batch(kd, cfg, ctx, trv_from_cart)
+    wb = make_generate_batch(cfg, ctx, trv_from_cart)(kd)
     wb0 = jax.tree.map(lambda a: a[0], wb)
     g = wb0.grid_idx
     graph = GraphBundle(

@@ -104,11 +104,11 @@ def main():
     # --- evaluation timeline ---------------------------------------------
     ev_cfg = cfg.synth
     ev_cfg.T = args.eval_T
-    tl = synthesize_timeline(
-        jax.random.PRNGKey(1234), ev_cfg, ctx.sta_cart, tt.from_cart,
+    tl = jax.jit(lambda k: synthesize_timeline(
+        k, ev_cfg, ctx.sta_cart, tt.from_cart,
         ctx.scale_cart, ctx.offset_cart,
         (ctx.offset_cart[2], ctx.offset_cart[2] + ctx.scale_cart[2]),
-        n_sta_real=ctx.sta_cart.shape[0])
+        n_sta_real=ctx.sta_cart.shape[0]))(jax.random.PRNGKey(1234))
     pm = np.asarray(tl.pick_mask)
     pick_t = np.asarray(tl.pick_t)[pm]
     pick_sta = np.asarray(tl.pick_sta)[pm]

@@ -165,3 +165,25 @@ def test_masked_axis_aggregation():
         sel = sta_nbr[i][valid[i]]
         want = feat[:, sel, :].mean(axis=1)
         assert np.allclose(got[:, i, :], want, atol=1e-5)
+
+
+def test_matmul_aggregation_matches_gather():
+    from genie_tpu.ops.segment import (
+        aggregation_matrix, matmul_mean_sta_axis, matmul_mean_src_axis)
+    rng = np.random.default_rng(8)
+    n_src, n_sta, k_sta, k_src, c = 10, 12, 4, 3, 6
+    feat = rng.normal(size=(n_src, n_sta, c)).astype(np.float32)
+    sta_nbr = np.stack([rng.choice(n_sta, k_sta, replace=False) for _ in range(n_sta)])
+    src_nbr = np.stack([rng.choice(n_src, k_src, replace=False) for _ in range(n_src)])
+    valid = rng.random((n_sta, k_sta)) > 0.3
+    valid[:, 0] = True
+
+    a_sta = aggregation_matrix(jnp.asarray(sta_nbr), n_sta, jnp.asarray(valid))
+    got = np.asarray(matmul_mean_sta_axis(jnp.asarray(feat), a_sta))
+    want = np.asarray(gather_mean_sta_axis(jnp.asarray(feat), jnp.asarray(sta_nbr), jnp.asarray(valid)))
+    assert np.allclose(got, want, atol=1e-5)
+
+    a_src = aggregation_matrix(jnp.asarray(src_nbr), n_src)
+    got = np.asarray(matmul_mean_src_axis(jnp.asarray(feat), a_src))
+    want = np.asarray(gather_mean_src_axis(jnp.asarray(feat), jnp.asarray(src_nbr)))
+    assert np.allclose(got, want, atol=1e-5)
