@@ -279,6 +279,70 @@ class LocalSliceCollapse(nn.Module):
         return act2(nn.Dense(self.ndim_out, name="fc2")(out))
 
 
+class _AssocChunk(nn.Module):
+    """One query-source chunk of the association attention (scanned)."""
+
+    ndim_out: int = 2
+    n_latent: int = 15
+    n_heads: int = 3
+    n_hidden: int = 30
+    eps: float = 15.0
+
+    @nn.compact
+    def __call__(self, carry, st, semb, trv_q, shared):
+        (x_j, phase_j, at_j, sta_j, self_link, null_link, is_null,
+         pair_valid) = shared
+        act1, act2, act3, act4 = PReLU(), PReLU(), PReLU(), PReLU()
+        H, L, eps = self.n_heads, self.n_latent, self.eps
+        n_pick = x_j.shape[0]
+
+        # rel times: (c, n_pick, Kp)
+        tsrc_p = jnp.where(is_null[None], -eps, trv_q[:, :, 0][:, sta_j])
+        tsrc_s = jnp.where(is_null[None], -eps, trv_q[:, :, 1][:, sta_j])
+        rel_p = at_j[None] - (tsrc_p + st[:, None, None])
+        rel_s = at_j[None] - (tsrc_s + st[:, None, None])
+        keep = ((jnp.abs(rel_p) < 2.0 * eps) | (jnp.abs(rel_s) < 2.0 * eps))
+        keep = keep & pair_valid[None]
+
+        def feat(rel):
+            return jnp.concatenate(
+                (jnp.exp(-0.5 * rel[..., None] ** 2 / eps**2),
+                 jnp.sign(rel)[..., None],
+                 jnp.broadcast_to(phase_j[None], rel.shape + (1,))),
+                axis=-1,
+            )
+        fp, fs = feat(rel_p), feat(rel_s)
+        c = st.shape[0]
+        x_jb = jnp.broadcast_to(x_j[None], (c,) + x_j.shape)
+        sl = jnp.broadcast_to(self_link[None], (c,) + self_link.shape)
+        nl = jnp.broadcast_to(null_link[None], (c,) + null_link.shape)
+
+        q = nn.Dense(H * L, name="f_arrival_query_2")(act2(
+            nn.Dense(self.n_hidden, name="f_arrival_query_1")(
+                jnp.concatenate((x_jb, fp, fs), -1))))
+        q = q.reshape(c, n_pick, -1, H, L)
+        ctx_in = jnp.concatenate(
+            (jnp.broadcast_to(semb[:, None, None, :], (c, n_pick, q.shape[2], semb.shape[-1])),
+             jnp.broadcast_to(st[:, None, None, None], (c, n_pick, q.shape[2], 1)),
+             sl, nl), -1)
+        ctx = nn.Dense(H * L, name="f_src_context_2")(act1(
+            nn.Dense(self.n_hidden, name="f_src_context_1")(ctx_in)))
+        ctx = ctx.reshape(c, n_pick, -1, H, L)
+        v = nn.Dense(H * L, name="f_values_2")(act3(
+            nn.Dense(self.n_hidden, name="f_values_1")(
+                jnp.concatenate((x_jb, fp, fs, sl, nl), -1))))
+        v = v.reshape(c, n_pick, -1, H, L)
+
+        scores = (q * ctx).sum(-1) / jnp.sqrt(jnp.float32(L))   # (c, n_pick, Kp, H)
+        scores = jnp.where(keep[..., None], scores, -jnp.inf)
+        alpha = jax.nn.softmax(scores, axis=2)
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)      # all-masked rows
+        agg = (alpha[..., None] * v).sum(axis=2).mean(axis=2)   # (c, n_pick, L)
+        out = nn.Dense(self.ndim_out, name="proj_2")(act4(
+            nn.Dense(self.n_hidden, name="proj_1")(agg)))
+        return carry, out
+
+
 class StationSourceAttention(nn.Module):
     """Final association head: for each (query source, pick) the model
     attends over the pick's co-station picks (+ a null sink), scoring P/S
@@ -288,8 +352,8 @@ class StationSourceAttention(nn.Module):
     sparsification becomes a fixed-size co-pick table ``pair_idx`` of the
     K_pair nearest-in-time picks at the same station, plus one null slot —
     dense masked attention over that axis. Query sources are processed in
-    chunks with ``lax.map`` to bound memory.
-    """
+    ``src_chunk``-sized chunks under ``nn.scan`` (one compiled body, bounded
+    memory)."""
 
     ndim_src_in: int = 30
     ndim_arv_in: int = 15
@@ -312,8 +376,6 @@ class StationSourceAttention(nn.Module):
           denotes the null arrival; pair_valid masks padded slots.
         Returns (n_qsrc, n_pick, 2).
         """
-        act1, act2, act3, act4 = PReLU(), PReLU(), PReLU(), PReLU()
-        H, L = self.n_heads, self.n_latent
         n_pick = tpick.shape[0]
         eps = self.eps
         if not self.use_phase_types:
@@ -325,15 +387,6 @@ class StationSourceAttention(nn.Module):
         atime = jnp.concatenate((tpick, jnp.asarray([-eps], tpick.dtype)))
         phase_aug = jnp.concatenate((phase_label, -jnp.ones((1, 1), phase_label.dtype)), axis=0)
 
-        f_aq1 = nn.Dense(self.n_hidden, name="f_arrival_query_1")
-        f_aq2 = nn.Dense(H * L, name="f_arrival_query_2")
-        f_sc1 = nn.Dense(self.n_hidden, name="f_src_context_1")
-        f_sc2 = nn.Dense(H * L, name="f_src_context_2")
-        f_v1 = nn.Dense(self.n_hidden, name="f_values_1")
-        f_v2 = nn.Dense(H * L, name="f_values_2")
-        proj_1 = nn.Dense(self.n_hidden, name="proj_1")
-        proj_2 = nn.Dense(self.ndim_out, name="proj_2")
-
         j_idx = pair_idx                       # (n_pick, Kp); == n_pick → null
         is_null = (j_idx == n_pick)
         x_j = arrival[j_idx]                   # (n_pick, Kp, 2*C_arv)
@@ -341,49 +394,10 @@ class StationSourceAttention(nn.Module):
         at_j = atime[j_idx]                    # (n_pick, Kp)
         # theoretical times at the *sender* pick's station; null → -eps column
         sta_j = jnp.where(is_null, 0, ipick[j_idx])  # dummy station for null
-
         self_link = (j_idx == jnp.arange(n_pick)[:, None]).astype(jnp.float32)[..., None]
         null_link = is_null.astype(jnp.float32)[..., None]
-
-        def one_chunk(args):
-            st, semb, trv_q = args             # (c,), (c, C_src), (c, n_sta, 2)
-            # rel times: (c, n_pick, Kp)
-            tsrc_p = jnp.where(is_null[None], -eps, trv_q[:, :, 0][:, sta_j])
-            tsrc_s = jnp.where(is_null[None], -eps, trv_q[:, :, 1][:, sta_j])
-            rel_p = at_j[None] - (tsrc_p + st[:, None, None])
-            rel_s = at_j[None] - (tsrc_s + st[:, None, None])
-            keep = ((jnp.abs(rel_p) < 2.0 * eps) | (jnp.abs(rel_s) < 2.0 * eps))
-            keep = keep & pair_valid[None]
-
-            def feat(rel):
-                return jnp.concatenate(
-                    (jnp.exp(-0.5 * rel[..., None] ** 2 / eps**2),
-                     jnp.sign(rel)[..., None],
-                     jnp.broadcast_to(phase_j[None], rel.shape + (1,))),
-                    axis=-1,
-                )
-            fp, fs = feat(rel_p), feat(rel_s)
-            c = st.shape[0]
-            x_jb = jnp.broadcast_to(x_j[None], (c,) + x_j.shape)
-            sl = jnp.broadcast_to(self_link[None], (c,) + self_link.shape)
-            nl = jnp.broadcast_to(null_link[None], (c,) + null_link.shape)
-
-            q = f_aq2(act2(f_aq1(jnp.concatenate((x_jb, fp, fs), -1))))
-            q = q.reshape(c, n_pick, -1, H, L)
-            ctx_in = jnp.concatenate(
-                (jnp.broadcast_to(semb[:, None, None, :], (c, n_pick, q.shape[2], semb.shape[-1])),
-                 jnp.broadcast_to(st[:, None, None, None], (c, n_pick, q.shape[2], 1)),
-                 sl, nl), -1)
-            ctx = f_sc2(act1(f_sc1(ctx_in))).reshape(c, n_pick, -1, H, L)
-            v = f_v2(act3(f_v1(jnp.concatenate((x_jb, fp, fs, sl, nl), -1))))
-            v = v.reshape(c, n_pick, -1, H, L)
-
-            scores = (q * ctx).sum(-1) / jnp.sqrt(jnp.float32(L))   # (c, n_pick, Kp, H)
-            scores = jnp.where(keep[..., None], scores, -jnp.inf)
-            alpha = jax.nn.softmax(scores, axis=2)
-            alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)      # all-masked rows
-            agg = (alpha[..., None] * v).sum(axis=2).mean(axis=2)   # (c, n_pick, L)
-            return proj_2(act4(proj_1(agg)))
+        shared = (x_j, phase_j, at_j, sta_j, self_link, null_link, is_null,
+                  pair_valid)
 
         n_qsrc = stime.shape[0]
         cs = self.src_chunk
@@ -393,10 +407,18 @@ class StationSourceAttention(nn.Module):
         se_p = jnp.pad(src_embed, ((0, pad), (0, 0))).reshape(n_chunks, cs, -1)
         tq_p = jnp.pad(trv_src, ((0, pad), (0, 0), (0, 0))).reshape(
             n_chunks, cs, trv_src.shape[1], 2)
-        # Static Python loop (unrolled under jit): flax modules cannot be
-        # first-called inside lax control flow, and per-chunk liveness keeps
-        # the (chunk, n_pick, k_pair) attention intermediates small.
-        out = jnp.concatenate(
-            [one_chunk((st_p[i], se_p[i], tq_p[i])) for i in range(n_chunks)], axis=0
+
+        Scan = nn.scan(
+            _AssocChunk,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(0, 0, 0, nn.broadcast),
+            out_axes=0,
         )
+        _, out = Scan(
+            ndim_out=self.ndim_out, n_latent=self.n_latent,
+            n_heads=self.n_heads, n_hidden=self.n_hidden, eps=eps,
+            name="chunks",
+        )(None, st_p, se_p, tq_p, shared)
+        out = out.reshape(n_chunks * cs, n_pick, self.ndim_out)
         return out[:n_qsrc]

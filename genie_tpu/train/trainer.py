@@ -221,6 +221,9 @@ def init_train_state(model: Detector, cfg: Config, ctx: DomainContext,
         tq_sample=wb0.tq_sample,
         trv_qsrc=trv_from_cart(ctx.sta_cart, wb0.x_qsrc),
     )
-    params = model.init(ki, wb0.feat, wb0.mask, graph, ctx.sta_cart, picks, queries)
+    # jit the init: flax init otherwise executes eagerly op-by-op, which is
+    # very slow on remote/tunneled backends
+    params = jax.jit(model.init)(ki, wb0.feat, wb0.mask, graph, ctx.sta_cart,
+                                 picks, queries)
     opt_state = optimizer.init(params)
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
