@@ -146,18 +146,28 @@ class InferencePipeline:
 
     # -- stages 2-4: candidates -------------------------------------------
     def extract_candidates(self, t0s, sweep_vals, thresh=None):
-        """Peak-find per query node over the stitched time axis."""
+        """Overlap-stack the sweep onto a regular time axis (the reference's
+        overlap stacking, :802-810: overlapping window estimates of the same
+        absolute time are averaged), then peak-find per query node."""
         cfg = self.cfg
         thresh = cfg.process.thresh if thresh is None else thresh
         n_win, n_q, n_t = sweep_vals.shape
         t_rel = np.linspace(-cfg.model.t_win / 2, cfg.model.t_win / 2, n_t)
-        # stitched series per query node: (n_q, n_win*n_t) with absolute times
-        times = (t0s[:, None] + t_rel[None, :]).reshape(-1)
-        order = np.argsort(times)
-        times_s = times[order]
-        series = sweep_vals.transpose(1, 0, 2).reshape(n_q, -1)[:, order]
+        dt_axis = t_rel[1] - t_rel[0] if n_t > 1 else 1.0
+        t_abs = (t0s[:, None] + t_rel[None, :])            # (n_win, n_t)
+        t_min = t_abs.min()
+        bins = np.round((t_abs - t_min) / dt_axis).astype(np.int64)
+        n_bins = bins.max() + 1
+        acc = np.zeros((n_q, n_bins), np.float32)
+        cnt = np.zeros(n_bins, np.float32)
+        flat_bins = bins.reshape(-1)
+        np.add.at(cnt, flat_bins, 1.0)
+        vals = sweep_vals.transpose(1, 0, 2).reshape(n_q, -1)  # (n_q, n_win*n_t)
+        for q in range(n_q):
+            np.add.at(acc[q], flat_bins, vals[q])
+        series = acc / np.maximum(cnt, 1.0)[None, :]
+        times_s = t_min + dt_axis * np.arange(n_bins)
         cands = []
-        dt_axis = np.median(np.diff(times_s)) if len(times_s) > 1 else 1.0
         spacing = max(1, int(1.5 * cfg.train.src_t_kernel / max(dt_axis, 1e-6)))
         xq = np.asarray(self.x_query)
         for q in range(n_q):
@@ -305,10 +315,36 @@ class InferencePipeline:
         srcs, svals = self.cluster_candidates(cands, vals)
         if len(srcs) == 0:
             return []
-        events = self.associate(pick_t, pick_sta, pick_phase,
-                                np.concatenate((srcs[:, :3], srcs[:, 3:4]), axis=1),
-                                grid=grid)
-        return self.locate(events, pick_t, pick_sta)
+        # association windows are t_win-scale: process candidate sources in
+        # disjoint time groups (ref break_win grouping, :851-890), further
+        # chunked so each group spans ≤ t_win (the trained query-time range)
+        events = []
+        for g in split_time_groups(srcs[:, 3], self.cfg.process.break_win):
+            g = g[np.argsort(srcs[g, 3])]
+            start = 0
+            while start < len(g):
+                span_end = srcs[g[start], 3] + self.cfg.model.t_win
+                sub = g[(srcs[g, 3] >= srcs[g[start], 3])
+                        & (srcs[g, 3] <= span_end)]
+                events.extend(self.associate(
+                    pick_t, pick_sta, pick_phase,
+                    np.concatenate((srcs[sub, :3], srcs[sub, 3:4]), axis=1),
+                    grid=grid))
+                start += len(sub)
+        located = self.locate(events, pick_t, pick_sta)
+        return self.dedup(located)
+
+    def dedup(self, events):
+        """Final duplicate merge — the reference's second LocalMarching pass
+        (:1075-1093): among located events close in space-time keep the one
+        with the most associated picks."""
+        if len(events) <= 1:
+            return events
+        cands = np.array([[*ev.pos_cart, ev.time] for ev in events])
+        vals = np.array([len(ev.picks) for ev in events], float)
+        keep = local_marching(cands, vals, tc_win=2 * self.cfg.process.tc_win,
+                              sp_win=self.cfg.process.sp_win)
+        return [events[i] for i in keep]
 
 
 def self_check_featurization(ctx: DomainContext, trv_from_cart, kernel_sig_t,

@@ -74,6 +74,7 @@ def main():
     ap.add_argument("--thresh", type=float, default=0.3)
     ap.add_argument("--eval-T", type=float, default=1800.0)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--save-params", default=None)
     args = ap.parse_args()
 
     import jax
@@ -100,6 +101,10 @@ def main():
                   f"preds {np.asarray(metrics['preds']).round(1)} "
                   f"({(time.time()-t0)/max(i,1):.2f}s/step)", flush=True)
     train_time = time.time() - t0
+    if args.save_params:
+        import pickle
+        Path(args.save_params).write_bytes(
+            pickle.dumps(jax.tree.map(np.asarray, state.params)))
 
     # --- evaluation timeline ---------------------------------------------
     ev_cfg = cfg.synth
