@@ -51,6 +51,60 @@ def kmeans_packing(key, scale_x, offset_x, n_clusters: int, to_cart,
     return v
 
 
+def kmeans_packing_fit_sources(key, ref_sources_cart, scale_x, offset_x,
+                               n_clusters: int, to_cart, blur: float = 15e3,
+                               frac_reference: float = 0.5, **kw):
+    """Pack nodes around a reference catalog: sampling mixes Gaussian-blurred
+    reference source positions with uniform background draws (the reference's
+    ``kmeans_packing_fit_sources`` + reference-density sampling,
+    utils.py:432-497, train_GENIE_model.py:251-289)."""
+    import jax
+
+    ref = jnp.asarray(ref_sources_cart, jnp.float32)
+
+    base_sampler = kw.pop("sampler", None)
+
+    def sampler(k2, n):
+        k_a, k_b, k_c, k_d = jax.random.split(k2, 4)
+        n_ref = int(frac_reference * n)
+        idx = jax.random.randint(k_a, (n_ref,), 0, ref.shape[0])
+        pts_ref = ref[idx] + blur * jax.random.normal(k_b, (n_ref, 3))
+        pts_uni = jax.random.uniform(k_c, (n - n_ref, 3)) * jnp.asarray(
+            scale_x, jnp.float32) + jnp.asarray(offset_x, jnp.float32)
+        # uniform points are in lat/lon/depth; reference pts in cart
+        return jnp.concatenate((pts_ref, to_cart(pts_uni)), axis=0)
+
+    # Lloyd iterations directly in Cartesian space around the mixture
+    n_batch = kw.pop("n_batch", 3000)
+    n_steps = kw.pop("n_steps", 1000)
+    lr = kw.pop("lr", 0.01)
+    k0, key = jax.random.split(key)
+    v = sampler(k0, n_clusters)
+
+    def step(v, k2):
+        x = sampler(k2, n_batch)
+        idx, _ = knn(v, x, 1)
+        ip = idx[:, 0]
+        update = segment_mean(x - v[ip], ip, n_clusters)
+        return v + lr * update, None
+
+    keys = jax.random.split(key, n_steps)
+    v, _ = jax.lax.scan(jax.jit(step), v, keys)
+    return v
+
+
+def fibonacci_sphere_packing(n: int, radius: float = 6371e3):
+    """Fibonacci-lattice points on a sphere (the reference's spherical
+    packing initialization, utils.py:342-430)."""
+    i = np.arange(n) + 0.5
+    phi = np.arccos(1 - 2 * i / n)
+    golden = np.pi * (1 + 5**0.5)
+    theta = golden * i
+    return np.stack((radius * np.sin(phi) * np.cos(theta),
+                     radius * np.sin(phi) * np.sin(theta),
+                     radius * np.cos(phi)), axis=1)
+
+
 def build_station_graph(sta_cart, k: int, sta_mask=None):
     """Station kNN graph (k=8), distances in km as the reference
     (train_GENIE_model.py:1140: /1000 scaling)."""

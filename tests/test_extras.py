@@ -1,0 +1,73 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_merge_and_csv_catalog(tmp_path):
+    from genie_tpu.calibration.magnitude_scale import (
+        merge_daily_catalogs, write_csv_catalog)
+    from genie_tpu.infer.pipeline import CatalogEvent
+    from genie_tpu.io import save_catalog
+
+    evs1 = [CatalogEvent(np.array([0.0, 0, -5e3]), 10.0, np.array([0]), np.array([0]), mag=2.0)]
+    evs2 = [CatalogEvent(np.array([1e3, 0, -5e3]), 99.0, np.array([1]), np.array([1]))]
+    save_catalog(tmp_path / "d1.hdf5", evs1)
+    save_catalog(tmp_path / "d2.hdf5", evs2)
+    merged = merge_daily_catalogs([tmp_path / "d1.hdf5", tmp_path / "d2.hdf5"],
+                                  out_hdf5=tmp_path / "all.hdf5")
+    assert len(merged) == 2
+    write_csv_catalog(tmp_path / "cat.csv", merged)
+    txt = (tmp_path / "cat.csv").read_text()
+    assert txt.startswith("lat,lon") and len(txt.splitlines()) == 3
+
+
+def test_magnitude_distance_model():
+    from genie_tpu.calibration.magnitude_scale import fit_magnitude_distance_model
+
+    rng = np.random.default_rng(0)
+    mags = rng.uniform(0, 5, 500)
+    dists = 20e3 * np.exp(0.5 * mags) * rng.uniform(0.3, 1.0, 500)
+    f = fit_magnitude_distance_model(mags, dists)
+    assert f(4.0) > f(1.0)  # monotone increasing
+    assert np.isfinite(f(np.array([0.5, 2.5, 4.5]))).all()
+
+
+def test_kmeans_fit_sources():
+    from genie_tpu.graphs.build import kmeans_packing_fit_sources
+    from genie_tpu.geometry import Projection
+
+    proj = Projection.from_center((40.0, -124.0))
+    rng = np.random.default_rng(1)
+    ref = rng.normal(0, 5e3, (50, 3)).astype(np.float32) + np.array([20e3, -10e3, -8e3], np.float32)
+    scale = np.array([1.9, 2.0, 42e3])
+    offset = np.array([39.3, -125.0, -40e3])
+    v = kmeans_packing_fit_sources(
+        jax.random.PRNGKey(0), ref, scale, offset, 30, proj.to_cart,
+        n_batch=300, n_steps=60)
+    v = np.asarray(v)
+    assert v.shape == (30, 3)
+    # a good fraction of nodes concentrate near the reference cluster
+    d = np.linalg.norm(v - np.array([20e3, -10e3, -8e3]), axis=1)
+    assert (d < 40e3).sum() >= 10
+
+
+def test_fibonacci_sphere():
+    from genie_tpu.graphs.build import fibonacci_sphere_packing
+
+    pts = fibonacci_sphere_packing(200)
+    r = np.linalg.norm(pts, axis=1)
+    assert np.allclose(r, 6371e3, rtol=1e-6)
+    assert pts[:, 2].min() < -6e6 and pts[:, 2].max() > 6e6  # covers poles
+
+
+def test_visualize_predictions(tmp_path):
+    from genie_tpu.viz import visualize_predictions
+
+    rng = np.random.default_rng(0)
+    grid = rng.uniform(-50e3, 50e3, (100, 3))
+    lbl = rng.random((100, 9)).astype(np.float32)
+    out = visualize_predictions(tmp_path, 5, grid, lbl, lbl * 0.9,
+                                x_query=grid[:50], lbl_query=lbl[:50],
+                                pred_query=lbl[:50] * 0.8,
+                                arv_p=rng.random((20, 30)))
+    assert out.exists() and out.stat().st_size > 1000
