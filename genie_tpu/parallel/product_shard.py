@@ -20,7 +20,7 @@ shard pairs.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import NamedTuple
 
 import jax

@@ -15,7 +15,7 @@ Replaces the reference driver (train_GENIE_model.py:1382-1881):
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, NamedTuple
 
 import jax
