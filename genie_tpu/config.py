@@ -173,6 +173,9 @@ class TrainConfig:
     max_assoc_labels: int = 1500  # ref config.yaml:99
     restart_step: int = 0
     seed: int = 0
+    # scan+remat windows instead of vmap: 1-window activation memory
+    # (needed at large station×grid scales), ~2x backward FLOPs
+    sequential_windows: bool = False
 
 
 @dataclass

@@ -134,7 +134,13 @@ def loss_fn(model: Detector, params, ctx: DomainContext, cfg: Config,
         preds = jnp.stack((y.max(), x.max(), arv_p.max(), arv_s.max()))
         return jnp.stack((l_grid, l_query, l_p, l_s)), trgts, preds
 
-    losses, trgts, preds = jax.vmap(one)(wb)
+    if cfg.train.sequential_windows:
+        # scan + remat over windows: activation memory of ONE window instead
+        # of n_batch (the reference's gradient-accumulation memory profile;
+        # jax.checkpoint recomputes the forward during backward)
+        losses, trgts, preds = jax.lax.map(jax.checkpoint(one), wb)
+    else:
+        losses, trgts, preds = jax.vmap(one)(wb)
     losses = losses.mean(axis=0)
     w = jnp.asarray(cfg.train.loss_weights)
     return (w * losses).sum(), (losses, trgts.sum(axis=0), preds.sum(axis=0))

@@ -86,6 +86,7 @@ def build_domain(args, sta_lla):
     cfg.process.min_required_picks = 6
     cfg.process.min_required_sta = 4
     cfg.process.step_size = args.step_size
+    cfg.train.sequential_windows = True  # 374-station × 500-node scale
 
     proj = Projection.from_center(cfg.region.center)
     sta_cart = np.asarray(proj.to_cart_np(sta_lla), np.float32)
