@@ -88,6 +88,9 @@ class Detector(nn.Module):
     use_absolute_pos: bool = False
     src_chunk: int = 16
     mask_p_thresh: float = 0.01
+    # MXU matmul aggregation (vs fixed-k gather): exact, much faster for
+    # n_src/n_sta up to a few thousand — see ops/segment.py
+    via_matmul: bool = False
 
     @property
     def scale_t(self) -> float:
@@ -99,7 +102,7 @@ class Detector(nn.Module):
 
     def setup(self):
         in_ch = 4 + (6 if self.use_absolute_pos else 0)
-        self.data_agg = DataAggregation(in_channels=in_ch, out_channels=15)
+        self.data_agg = DataAggregation(in_channels=in_ch, out_channels=15, via_matmul=self.via_matmul)
         self.read_in = BipartiteReadIn(30, 15)
         self.spatial1 = SpatialAggregation(15, 30, scale_rel=self.scale_rel)
         self.spatial2 = SpatialAggregation(30, 30, scale_rel=self.scale_rel)
@@ -108,7 +111,7 @@ class Detector(nn.Module):
         self.spatial_attn = SpatialAttention(30, 30, n_latent=15, n_heads=5, scale_rel=self.scale_rel)
         self.temporal_attn = TemporalAttention(30, 1, n_latent=15, n_heads=5, scale_t=self.scale_t)
         self.read_out = BipartiteReadOut(30, 15)
-        self.assoc_agg = DataAggregationAssociationPhase(15, 15)
+        self.assoc_agg = DataAggregationAssociationPhase(15, 15, via_matmul=self.via_matmul)
         self.slice_p = LocalSliceCollapse(30, 15, eps=self.eps, use_phase_types=self.use_phase_types)
         self.slice_s = LocalSliceCollapse(30, 15, eps=self.eps, use_phase_types=self.use_phase_types)
         self.arrivals = StationSourceAttention(

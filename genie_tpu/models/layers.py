@@ -21,8 +21,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from genie_tpu.ops.segment import (
-    gather_mean_src_axis,
-    gather_mean_sta_axis,
+    mean_src_axis,
+    mean_sta_axis,
 )
 
 
@@ -50,6 +50,7 @@ class DataAggregation(nn.Module):
     out_channels: int = 15
     n_hidden: int = 30
     n_mask: int = 4
+    via_matmul: bool = False
 
     @nn.compact
     def __call__(self, tr, mask, sta_nbr, sta_nbr_valid, src_nbr):
@@ -63,15 +64,15 @@ class DataAggregation(nn.Module):
 
         # Round 1 (the reference feeds act(tr) directly to propagate here;
         # its l1_*_1 linears exist but are unused — behaviour preserved)
-        agg_sta = gather_mean_sta_axis(act11(tr), sta_nbr, sta_nbr_valid)
-        agg_src = gather_mean_src_axis(act12(tr), src_nbr)
+        agg_sta = mean_sta_axis(act11(tr), sta_nbr, sta_nbr_valid, self.via_matmul)
+        agg_src = mean_src_axis(act12(tr), src_nbr, via_matmul=self.via_matmul)
         tr1 = nn.Dense(h, name="l1_t1_2")(jnp.concatenate((tr, agg_sta, mask), -1))
         tr2 = nn.Dense(h, name="l1_t2_2")(jnp.concatenate((tr, agg_src, mask), -1))
         tr = act1(jnp.concatenate((tr1, tr2), axis=-1))
 
         # Round 2
-        agg_sta = gather_mean_sta_axis(act21(nn.Dense(h, name="l2_t1_1")(tr)), sta_nbr, sta_nbr_valid)
-        agg_src = gather_mean_src_axis(act22(nn.Dense(h, name="l2_t2_1")(tr)), src_nbr)
+        agg_sta = mean_sta_axis(act21(nn.Dense(h, name="l2_t1_1")(tr)), sta_nbr, sta_nbr_valid, self.via_matmul)
+        agg_src = mean_src_axis(act22(nn.Dense(h, name="l2_t2_1")(tr)), src_nbr, via_matmul=self.via_matmul)
         tr1 = nn.Dense(self.out_channels, name="l2_t1_2")(jnp.concatenate((tr, agg_sta, mask), -1))
         tr2 = nn.Dense(self.out_channels, name="l2_t2_2")(jnp.concatenate((tr, agg_src, mask), -1))
         return act2(jnp.concatenate((tr1, tr2), axis=-1))
@@ -213,6 +214,7 @@ class DataAggregationAssociationPhase(nn.Module):
     out_channels: int = 15
     n_hidden: int = 30
     n_latent: int = 30
+    via_matmul: bool = False
 
     @nn.compact
     def __call__(self, tr, latent, mask1, mask2, sta_nbr, sta_nbr_valid, src_nbr):
@@ -225,14 +227,14 @@ class DataAggregationAssociationPhase(nn.Module):
         tr = jnp.concatenate((tr, latent, mask), axis=-1)
         tr = act(nn.Dense(h, name="init_trns")(tr))
 
-        agg_sta = gather_mean_sta_axis(act11(nn.Dense(h, name="l1_t1_1")(tr)), sta_nbr, sta_nbr_valid)
-        agg_src = gather_mean_src_axis(act12(nn.Dense(h, name="l1_t2_1")(tr)), src_nbr)
+        agg_sta = mean_sta_axis(act11(nn.Dense(h, name="l1_t1_1")(tr)), sta_nbr, sta_nbr_valid, self.via_matmul)
+        agg_src = mean_src_axis(act12(nn.Dense(h, name="l1_t2_1")(tr)), src_nbr, via_matmul=self.via_matmul)
         tr1 = nn.Dense(h, name="l1_t1_2")(jnp.concatenate((tr, agg_sta, mask), -1))
         tr2 = nn.Dense(h, name="l1_t2_2")(jnp.concatenate((tr, agg_src, mask), -1))
         tr = act1(jnp.concatenate((tr1, tr2), axis=-1))
 
-        agg_sta = gather_mean_sta_axis(act21(nn.Dense(h, name="l2_t1_1")(tr)), sta_nbr, sta_nbr_valid)
-        agg_src = gather_mean_src_axis(act22(nn.Dense(h, name="l2_t2_1")(tr)), src_nbr)
+        agg_sta = mean_sta_axis(act21(nn.Dense(h, name="l2_t1_1")(tr)), sta_nbr, sta_nbr_valid, self.via_matmul)
+        agg_src = mean_src_axis(act22(nn.Dense(h, name="l2_t2_1")(tr)), src_nbr, via_matmul=self.via_matmul)
         tr1 = nn.Dense(self.out_channels, name="l2_t1_2")(jnp.concatenate((tr, agg_sta, mask), -1))
         tr2 = nn.Dense(self.out_channels, name="l2_t2_2")(jnp.concatenate((tr, agg_src, mask), -1))
         return act2(jnp.concatenate((tr1, tr2), axis=-1))

@@ -161,3 +161,19 @@ def matmul_mean_src_axis(feat, a_src):
     n_src, n_sta, c = feat.shape
     out = a_src @ feat.reshape(n_src, n_sta * c)
     return out.reshape(n_src, n_sta, c)
+
+
+def mean_sta_axis(feat, sta_nbr, sta_valid=None, via_matmul: bool = False):
+    """Station-axis mean aggregation; ``via_matmul`` selects the MXU path
+    (builds the row-stochastic matrix inline — XLA CSEs repeats)."""
+    if via_matmul:
+        a = aggregation_matrix(sta_nbr, feat.shape[1], sta_valid, feat.dtype)
+        return matmul_mean_sta_axis(feat, a)
+    return gather_mean_sta_axis(feat, sta_nbr, sta_valid)
+
+
+def mean_src_axis(feat, src_nbr, src_valid=None, via_matmul: bool = False):
+    if via_matmul:
+        a = aggregation_matrix(src_nbr, feat.shape[0], src_valid, feat.dtype)
+        return matmul_mean_src_axis(feat, a)
+    return gather_mean_src_axis(feat, src_nbr, src_valid)

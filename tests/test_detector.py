@@ -144,3 +144,15 @@ def test_padded_picks_do_not_affect_valid_scores():
     _, _, p2, s2 = model.apply(params, feat, mask, graph, sta_pos, picks2, queries)
     valid = np.asarray(picks.mask)
     assert np.allclose(np.asarray(p1)[:, valid], np.asarray(p2)[:, valid], atol=1e-5)
+
+
+def test_via_matmul_matches_gather_path():
+    """The MXU matmul aggregation option must be numerically equivalent."""
+    feat, mask, graph, sta_pos, picks, queries = make_tiny_scene(seed=4)
+    m1 = Detector(src_chunk=4, via_matmul=False)
+    m2 = Detector(src_chunk=4, via_matmul=True)
+    params = m1.init(jax.random.PRNGKey(4), feat, mask, graph, sta_pos, picks, queries)
+    o1 = m1.apply(params, feat, mask, graph, sta_pos, picks, queries)
+    o2 = m2.apply(params, feat, mask, graph, sta_pos, picks, queries)
+    for a, b in zip(o1, o2):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4)
