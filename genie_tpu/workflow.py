@@ -105,10 +105,26 @@ def domain_from_project(root, cfg: Config, trv=None) -> tuple[DomainContext, obj
 
 
 def train(cfg: Config, ctx: DomainContext, trv, out_dir, n_steps=None,
-          log_every: int = 20, seed: int = 0, restart: bool = False):
+          log_every: int = 20, seed: int = 0, restart: bool = False,
+          profile_at: int | None = None, use_wandb: bool = False):
     """Training driver: jitted step, per-step text log (the reference's
-    ``{proj}_output_{ver}.txt`` contract), periodic checkpoints."""
+    ``{proj}_output_{ver}.txt`` contract), periodic checkpoints.
+
+    ``profile_at``: capture a ``jax.profiler`` trace of that step into
+    ``out_dir/profile`` (the tracing subsystem the reference lacks,
+    SURVEY §5). ``use_wandb``: optional metric streaming if wandb is
+    importable (the reference's optional wandb hook, train_GENIE_model.py:41).
+    """
     from genie_tpu.io import load_checkpoint, save_checkpoint
+
+    wandb = None
+    if use_wandb:
+        try:
+            import wandb as _wandb
+            wandb = _wandb
+            wandb.init(project=f"genie_tpu_{cfg.region.name}")
+        except Exception:
+            wandb = None
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -127,7 +143,15 @@ def train(cfg: Config, ctx: DomainContext, trv, out_dir, n_steps=None,
     start = int(state.step)
     for i in range(start, n_steps):
         key, k = jax.random.split(key)
-        state, metrics = step_fn(state, k)
+        if profile_at is not None and i == profile_at:
+            with jax.profiler.trace(str(out_dir / "profile")):
+                state, metrics = step_fn(state, k)
+                jax.block_until_ready(state)
+        else:
+            state, metrics = step_fn(state, k)
+        if wandb is not None and i % log_every == 0:
+            wandb.log({k2: float(v) for k2, v in metrics.items()
+                       if np.ndim(v) == 0}, step=i)
         if i % log_every == 0 or i == n_steps - 1:
             trgts = np.asarray(metrics["trgts"]).round(2)
             preds = np.asarray(metrics["preds"]).round(2)
