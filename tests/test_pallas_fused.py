@@ -30,6 +30,6 @@ def test_fused_round_matches_reference_interpret():
     want = np.asarray(fused_dual_round_reference(*args))
     from jax.experimental.pallas import tpu as pltpu
     with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(fused_dual_round(*args, block_src=32))
+        got = np.asarray(fused_dual_round(*args))
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=2e-5)
