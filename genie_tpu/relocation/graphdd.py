@@ -157,31 +157,42 @@ class GNNLocation(nn.Module):
 
 
 def make_feature_tensor(graph: RelocGraph, sta_cart, resid, partials,
-                        scale_t: float = 5.0, scale_x: float = 50e3):
+                        scale_t: float = 5.0, scale_x: float = 50e3,
+                        memory=None):
+    """15-dim per-(source, station) inputs (ref :766-789); ``memory``
+    optionally appends the EMA of previous predictions (Δx/Δt per source,
+    the reference's buffer_weight=0.98 memory input, ref :793-820)."""
     off = (graph.src_pos[:, None, :] - sta_cart[None, :, :]) / scale_x
     off_n = jnp.linalg.norm(off, axis=-1, keepdims=True)
     pick_cnt = graph.obs_mask.sum(axis=(1, 2))
     log_cnt = jnp.log1p(pick_cnt)[:, None, None] * jnp.ones_like(off_n)
     p_scaled = partials * (1.0 / 60.0) * jnp.asarray([1.0, 1.0, 100e3]).reshape(1, 1, 1, 3)
-    feat = jnp.concatenate((
+    parts = [
         resid[:, :, 0:1] / scale_t, resid[:, :, 1:2] / scale_t,
         p_scaled[:, :, 0, :], p_scaled[:, :, 1, :],
         off, off_n, log_cnt,
         graph.obs_mask[:, :, 0:1], graph.obs_mask[:, :, 1:2],
-    ), axis=-1)
+    ]
+    if memory is not None:
+        n_sta = sta_cart.shape[0]
+        parts.append(jnp.broadcast_to(memory[:, None, :],
+                                      (memory.shape[0], n_sta, memory.shape[1])))
+    feat = jnp.concatenate(parts, axis=-1)
     prod_mask = (graph.obs_mask.max(axis=-1, keepdims=True) > 0).astype(jnp.float32)
     return feat * prod_mask, prod_mask
 
 
 def make_dd_loss(model: GNNLocation, trv_from_cart, sta_cart,
-                 w_dd: float = 0.8, w_abs: float = 0.1, w_sta: float = 0.1):
+                 w_dd: float = 0.8, w_abs: float = 0.1, w_sta: float = 0.1,
+                 use_memory: bool = False):
     """Differentiable relocation loss through the travel-time surrogate."""
 
-    def loss_fn(params, graph: RelocGraph):
+    def loss_fn(params, graph: RelocGraph, memory=None):
         resid, partials = build_catalog_data(
             trv_from_cart, sta_cart, graph.src_pos, graph.src_time,
             graph.obs_time, graph.obs_mask)
-        feat, prod_mask = make_feature_tensor(graph, sta_cart, resid, partials)
+        feat, prod_mask = make_feature_tensor(graph, sta_cart, resid, partials,
+                                              memory=memory)
         d_pos, d_t, sta_corr = model.apply(params, feat, graph.src_nbr,
                                            graph.sta_nbr, prod_mask)
         new_pos = graph.src_pos + d_pos * graph.src_mask[:, None]
@@ -205,32 +216,43 @@ def make_dd_loss(model: GNNLocation, trv_from_cart, sta_cart,
                 * graph.pair_mask).sum() / jnp.maximum(graph.pair_mask.sum(), 1)
 
         total = w_dd * l_dd + w_abs * l_abs + w_sta * l_sta
-        return total, {"dd": l_dd, "abs": l_abs, "sta": l_sta}
+        return total, ({"dd": l_dd, "abs": l_abs, "sta": l_sta},
+                       jax.lax.stop_gradient(d_pos), jax.lax.stop_gradient(d_t))
 
     return loss_fn
 
 
 def train_graphdd(key, model: GNNLocation, trv_from_cart, sta_cart, graphs,
-                  n_steps: int = 500, lr: float = 1e-3):
-    """Adam over the relocation graphs (ref: 50k steps; caller scales)."""
+                  n_steps: int = 500, lr: float = 1e-3,
+                  use_memory: bool = False, buffer_weight: float = 0.98):
+    """Adam over the relocation graphs (ref: 50k steps; caller scales).
+    ``use_memory`` feeds the EMA of previous (Δx, Δt) predictions back as an
+    input (ref :793-820); buffers are per graph."""
     g0 = graphs[0]
     resid, partials = build_catalog_data(trv_from_cart, sta_cart, g0.src_pos,
                                          g0.src_time, g0.obs_time, g0.obs_mask)
-    feat, prod_mask = make_feature_tensor(g0, sta_cart, resid, partials)
+    mem0 = jnp.zeros((g0.src_pos.shape[0], 4)) if use_memory else None
+    feat, prod_mask = make_feature_tensor(g0, sta_cart, resid, partials, memory=mem0)
     params = model.init(key, feat, g0.src_nbr, g0.sta_nbr, prod_mask)
-    loss_fn = make_dd_loss(model, trv_from_cart, sta_cart)
+    loss_fn = make_dd_loss(model, trv_from_cart, sta_cart, use_memory=use_memory)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(p, s, graph):
-        (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, graph)
+    def step(p, s, graph, mem):
+        (total, (parts, dpos, dt)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p, graph, mem)
         u, s = opt.update(grads, s, p)
-        return optax.apply_updates(p, u), s, total
+        return optax.apply_updates(p, u), s, total, dpos, dt
 
+    S = graphs[0].src_pos.shape[0]
+    mems = [jnp.zeros((S, 4)) for _ in graphs] if use_memory else [None] * len(graphs)
     for i in range(n_steps):
-        g = graphs[i % len(graphs)]
-        params, opt_state, total = step(params, opt_state, g)
+        gi = i % len(graphs)
+        params, opt_state, total, dpos, dt = step(params, opt_state, graphs[gi], mems[gi])
+        if use_memory:
+            upd = jnp.concatenate((dpos / model.pos_scale, dt[:, None]), axis=1)
+            mems[gi] = buffer_weight * mems[gi] + (1 - buffer_weight) * upd
     return params, float(total)
 
 

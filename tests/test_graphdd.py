@@ -69,3 +69,16 @@ def test_graphdd_relocation_improves_locations():
     err_after = np.linalg.norm(np.asarray(new_pos) - true_pos[rows], axis=1)
     assert np.median(err_after) < 0.7 * np.median(err_before)
     assert np.isfinite(np.asarray(sta_corr)).all()
+
+
+def test_graphdd_with_memory_input():
+    tt, sta, true_pos, true_t, init_pos, init_t, obs, mask = make_cluster(seed=1)
+    graphs = make_relocation_graphs(
+        jax.random.PRNGKey(2), jnp.asarray(init_pos), jnp.asarray(init_t),
+        jnp.asarray(obs), jnp.asarray(mask), jnp.asarray(sta),
+        n_graphs=2, graph_size=24, k_src=6, k_sta=5, max_pair_dist=20e3)
+    model = GNNLocation(n_rounds=2)
+    params, loss = train_graphdd(
+        jax.random.PRNGKey(3), model, tt.from_cart, jnp.asarray(sta), graphs,
+        n_steps=60, lr=2e-3, use_memory=True)
+    assert np.isfinite(loss)
