@@ -192,6 +192,54 @@ class InferencePipeline:
             kept_val.append(vals[g][keep])
         return np.concatenate(kept_pos), np.concatenate(kept_val)
 
+    # -- stage 4: refinement ------------------------------------------------
+    def refine_sources(self, pick_t, pick_sta, pick_phase, srcs, vals,
+                       grid: int = 0, n_rand: int = 1024, key=None):
+        """Per-source local relocation by dense random re-querying around the
+        candidate (ref :917-1005, n_rand_query offsets → argmax)."""
+        import jax as _jax
+        if len(srcs) == 0:
+            return srcs, vals
+        key = key if key is not None else jax.random.PRNGKey(0)
+        cfg = self.cfg
+        out = srcs.copy()
+        sig = np.array([cfg.process.sp_win, cfg.process.sp_win,
+                        0.5 * cfg.process.sp_win], np.float32)
+        for i in range(len(srcs)):
+            # window start at the candidate time: detection outputs live at
+            # t0 + t_rel with t_rel ∈ ±t_win/2 (matching training labels)
+            t0 = srcs[i, 3]
+            tp, ip, ph, pm, _ = self._window_picks(pick_t, pick_sta, pick_phase, t0)
+            if pm.sum() == 0:
+                continue
+            koff = jax.random.fold_in(key, i)
+            offs = np.asarray(jax.random.normal(koff, (n_rand, 3))) * sig
+            xq = (srcs[i, :3][None] + offs).astype(np.float32)
+            xq[0] = srcs[i, :3]
+            xq_idx = build_query_attachment(self.ctx.grids_cart[grid], xq,
+                                            k=cfg.graph.k_spatial_attn)
+            _, x = self.model.apply(
+                self.params, *self._feat_for(tp, ip, ph, pm, grid),
+                _make_graph(self.ctx, grid, self.sta_mask, self.sta_nbr,
+                            self.sta_nbr_valid), self.ctx.sta_cart,
+                jnp.asarray(xq), xq_idx, self.t_query,
+                method=Detector.forward_detection_only)
+            x = np.asarray(x[:, :, 0])
+            qi, ti = np.unravel_index(np.argmax(x), x.shape)
+            if x[qi, ti] > vals[i]:
+                out[i, :3] = xq[qi]
+                t_rel = np.linspace(-cfg.model.t_win / 2, cfg.model.t_win / 2,
+                                    x.shape[1])[ti]
+                out[i, 3] = t0 + t_rel
+                vals[i] = x[qi, ti]
+        return out, vals
+
+    def _feat_for(self, tp, ip, ph, pm, grid):
+        feat, fmask = featurize_window(
+            jnp.asarray(tp), jnp.asarray(ip), jnp.asarray(ph), jnp.asarray(pm),
+            self.ctx.trv_grids[grid], self.cfg.train.src_t_kernel, self.sta_mask)
+        return feat, fmask
+
     # -- stage 5: association ---------------------------------------------
     def _assoc_window(self, tpick, ipick, phase, pick_mask, x_qsrc, tq_sample,
                       grid: int):
@@ -315,6 +363,9 @@ class InferencePipeline:
         srcs, svals = self.cluster_candidates(cands, vals)
         if len(srcs) == 0:
             return []
+        srcs, svals = self.refine_sources(
+            pick_t, pick_sta, pick_phase, srcs, svals, grid=grid,
+            n_rand=min(1024, self.cfg.process.n_rand_query))
         # association windows are t_win-scale: process candidate sources in
         # disjoint time groups (ref break_win grouping, :851-890), further
         # chunked so each group spans ≤ t_win (the trained query-time range)

@@ -127,6 +127,8 @@ def main():
     ap.add_argument("--t-end", type=float, default=86400.0)
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--save-params", default="/tmp/bssa_params.pkl")
+    ap.add_argument("--load-params", default=None,
+                    help="skip training, load params pickle")
     args = ap.parse_args()
 
     import pickle
@@ -142,22 +144,26 @@ def main():
           f"{cfg.region.lat_range} x {cfg.region.lon_range}", flush=True)
 
     model = Detector(src_chunk=16)
-    key = jax.random.PRNGKey(0)
-    state = init_train_state(model, cfg, ctx, tt.from_cart, key)
-    step_fn, _ = make_train_step(model, cfg, ctx, tt.from_cart)
-    t0 = time.time()
-    for i in range(args.steps):
-        key, k = jax.random.split(key)
-        state, metrics = step_fn(state, k)
-        if i % 200 == 0 or i == args.steps - 1:
-            print(f"step {i} loss {float(metrics['loss']):.5f} "
-                  f"trgts {np.asarray(metrics['trgts']).round(1)} "
-                  f"preds {np.asarray(metrics['preds']).round(1)} "
-                  f"({(time.time()-t0)/max(i,1):.2f}s/step)", flush=True)
-    Path(args.save_params).write_bytes(pickle.dumps(
-        jax.tree.map(np.asarray, state.params)))
+    if args.load_params:
+        params = pickle.loads(Path(args.load_params).read_bytes())
+    else:
+        key = jax.random.PRNGKey(0)
+        state = init_train_state(model, cfg, ctx, tt.from_cart, key)
+        step_fn, _ = make_train_step(model, cfg, ctx, tt.from_cart)
+        t0 = time.time()
+        for i in range(args.steps):
+            key, k = jax.random.split(key)
+            state, metrics = step_fn(state, k)
+            if i % 200 == 0 or i == args.steps - 1:
+                print(f"step {i} loss {float(metrics['loss']):.5f} "
+                      f"trgts {np.asarray(metrics['trgts']).round(1)} "
+                      f"preds {np.asarray(metrics['preds']).round(1)} "
+                      f"({(time.time()-t0)/max(i,1):.2f}s/step)", flush=True)
+        Path(args.save_params).write_bytes(pickle.dumps(
+            jax.tree.map(np.asarray, state.params)))
+        params = state.params
 
-    pipe = InferencePipeline(model, state.params, cfg, ctx, tt.from_cart)
+    pipe = InferencePipeline(model, params, cfg, ctx, tt.from_cart)
     results = {}
     for day in args.days:
         pick_t, pick_sta, pick_ph, prob, ind_use, cat, ref_srcs = load_day(day)
