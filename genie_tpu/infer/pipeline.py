@@ -93,6 +93,9 @@ class InferencePipeline:
                                                k=cfg.graph.k_spatial_attn)
                         for g in range(ctx.grids_cart.shape[0])]
         self._sweep_fn = jax.jit(self._sweep_window, static_argnames=("grid",))
+        self._sweep_batch_fn = jax.jit(
+            jax.vmap(self._sweep_window, in_axes=(0, 0, 0, 0, None)),
+            static_argnums=(4,))
         self._assoc_fn = jax.jit(self._assoc_window, static_argnames=("grid",))
 
     # -- stage 1: detection sweep -----------------------------------------
@@ -127,22 +130,36 @@ class InferencePipeline:
         return tp, ip, ph, pm, sel
 
     def detection_sweep(self, pick_t, pick_sta, pick_phase, t_start, t_end,
-                        grid: int = 0):
-        """Slide over [t_start, t_end); returns (times, values (n_win, n_q, n_t))."""
+                        grid: int = 0, window_batch: int = 16):
+        """Slide over [t_start, t_end); returns (times, values (n_win, n_q, n_t)).
+        Windows are batched ``window_batch`` at a time through one vmapped
+        device call (the per-day hot loop, ref :761-810)."""
         cfg = self.cfg
         step = cfg.model.t_win / cfg.process.step_size
         t0s = np.arange(t_start, t_end, step)
-        outs = []
-        for t0 in t0s:
+        n_q = self.x_query.shape[0]
+        outs = np.zeros((len(t0s), n_q, self.n_t), np.float32)
+        # host-side pick windowing for all windows first
+        batch_idx, batch_data = [], []
+        for w, t0 in enumerate(t0s):
             tp, ip, ph, pm, _ = self._window_picks(pick_t, pick_sta, pick_phase, t0)
-            # quiescent skip (ref :725-754)
             if pm.sum() == 0:
-                outs.append(np.zeros((self.x_query.shape[0], self.n_t), np.float32))
-                continue
-            out = self._sweep_fn(jnp.asarray(tp), jnp.asarray(ip), jnp.asarray(ph),
-                                 jnp.asarray(pm), grid=grid)
-            outs.append(np.asarray(out))
-        return t0s, np.stack(outs)
+                continue  # quiescent skip (ref :725-754)
+            batch_idx.append(w)
+            batch_data.append((tp, ip, ph, pm))
+        for s in range(0, len(batch_idx), window_batch):
+            chunk = batch_data[s:s + window_batch]
+            pad = window_batch - len(chunk)
+            if pad:
+                chunk = chunk + [chunk[-1]] * pad
+            tp = jnp.asarray(np.stack([c[0] for c in chunk]))
+            ip = jnp.asarray(np.stack([c[1] for c in chunk]))
+            ph = jnp.asarray(np.stack([c[2] for c in chunk]))
+            pm = jnp.asarray(np.stack([c[3] for c in chunk]))
+            out = np.asarray(self._sweep_batch_fn(tp, ip, ph, pm, grid))
+            for j, w in enumerate(batch_idx[s:s + window_batch]):
+                outs[w] = out[j]
+        return t0s, outs
 
     # -- stages 2-4: candidates -------------------------------------------
     def extract_candidates(self, t0s, sweep_vals, thresh=None):
