@@ -68,6 +68,24 @@ def save_picks(path, times, sta_idx, phase, amp=None):
     np.savez(path, P=P)
 
 
+def discover_subnetworks(picks_root, n_sta: int, max_days: int = 500):
+    """Scan per-day pick files for the realistic station subsets observed in
+    the data (the reference's ``Ind_subnetworks`` discovery,
+    train_GENIE_model.py:153-199). Returns (n_days, n_sta) bool masks."""
+    masks = []
+    files = sorted(Path(picks_root).rglob("*.npz"))[:max_days]
+    for f in files:
+        try:
+            _, sta, _, _ = load_picks(f)
+        except Exception:
+            continue
+        m = np.zeros(n_sta, bool)
+        m[np.unique(sta[(sta >= 0) & (sta < n_sta)]).astype(int)] = True
+        if m.sum() >= 4:
+            masks.append(m)
+    return np.stack(masks) if masks else np.zeros((0, n_sta), bool)
+
+
 # -- catalogs ---------------------------------------------------------------
 
 def save_catalog(path, events, pick_t=None, pick_sta=None, extra=None):

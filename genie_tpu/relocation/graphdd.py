@@ -62,6 +62,28 @@ def build_catalog_data(trv_from_cart, sta_cart, src_pos, src_time, obs_time, obs
     return resid, partials
 
 
+def prune_picks(resid, obs_mask, max_resid: float = 2.0, max_rel_resid: float = 0.1,
+                trv=None):
+    """Drop picks with large (relative) residuals before relocation — the
+    reference's relative-error pruning (build_initial_files.py:738-752).
+    Returns a cleaned obs_mask."""
+    bad = jnp.abs(resid) > max_resid
+    if trv is not None:
+        bad = bad | (jnp.abs(resid) > max_rel_resid * jnp.maximum(trv, 1.0))
+    return obs_mask * (~bad)
+
+
+def drop_isolated_sources(src_pos, src_mask, obs_mask, min_picks: int = 6,
+                          max_nn_dist: float = 50e3):
+    """Remove unstable/isolated sources (ref :757-810): too few picks, or no
+    neighbour within ``max_nn_dist``. Returns updated src_mask."""
+    n_picks = obs_mask.sum(axis=(1, 2))
+    d = jnp.linalg.norm(src_pos[:, None] - src_pos[None, :], axis=-1)
+    d = jnp.where(jnp.eye(len(src_pos), dtype=bool) | ~src_mask[None, :], jnp.inf, d)
+    has_nbr = d.min(axis=1) < max_nn_dist
+    return src_mask & (n_picks >= min_picks) & has_nbr
+
+
 def make_relocation_graphs(key, src_pos, src_time, obs_time, obs_mask, sta_cart,
                            n_graphs: int, graph_size: int = 32, k_src: int = 8,
                            k_sta: int = 8, max_pair_dist: float = 10e3,

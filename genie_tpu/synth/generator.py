@@ -298,7 +298,7 @@ def _gauss_labels(pos_q, t_slice_abs, ev_pos, ev_time, ev_active, sig_x, sig_z, 
 
 def make_windows(key, cfg, tcfg, gcfg, tl: Timeline, sta_cart, grids_cart,
                  trv_grids, scale_cart, offset_cart, interior_mask_fn=None,
-                 n_t: int = 9, t_win: float = 10.0):
+                 n_t: int = 9, t_win: float = 10.0, subnetworks=None):
     """Slice a timeline into ``tcfg.n_batch`` training windows.
 
     grids_cart: (n_grids, n_src, 3); trv_grids: (n_grids, n_src, n_sta, 2).
@@ -327,12 +327,20 @@ def make_windows(key, cfg, tcfg, gcfg, tl: Timeline, sta_cart, grids_cart,
 
     grid_idx = jax.random.randint(k2, (B,), 0, n_grids)
 
-    # per-window random station subsets (fraction in n_sta_range, :910-935)
+    # per-window station subsets: random fraction (n_sta_range, :910-935),
+    # or — with probability 1/2 when real subnetworks are provided
+    # (fixed_subnetworks, :910-935) — an observed day's station set
     frac = jax.random.uniform(k3, (B,), minval=cfg.n_sta_range[0], maxval=cfg.n_sta_range[1])
     n_keep = jnp.round(frac * n_sta).astype(jnp.int32)
     scores = jax.random.uniform(jax.random.fold_in(k3, 1), (B, n_sta))
     rank = jnp.argsort(jnp.argsort(scores, axis=1), axis=1)
     sta_mask = rank < n_keep[:, None]
+    if subnetworks is not None and cfg.fixed_subnetworks:
+        subnets = jnp.asarray(subnetworks, bool)       # (n_subnet, n_sta)
+        pick_sub = jax.random.randint(jax.random.fold_in(k3, 2), (B,),
+                                      0, subnets.shape[0])
+        use_sub = jax.random.uniform(jax.random.fold_in(k3, 3), (B,)) < 0.5
+        sta_mask = jnp.where(use_sub[:, None], subnets[pick_sub], sta_mask)
 
     def one_window(kw, t0, g_idx, smask):
         trv_g = trv_grids[g_idx]                                   # (n_src, n_sta, 2)

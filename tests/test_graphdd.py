@@ -82,3 +82,16 @@ def test_graphdd_with_memory_input():
         jax.random.PRNGKey(3), model, tt.from_cart, jnp.asarray(sta), graphs,
         n_steps=60, lr=2e-3, use_memory=True)
     assert np.isfinite(loss)
+
+
+def test_prune_and_isolation_helpers():
+    from genie_tpu.relocation.graphdd import drop_isolated_sources, prune_picks
+    resid = jnp.asarray([[[0.1, 5.0], [0.2, 0.1]]])
+    mask = jnp.ones((1, 2, 2))
+    out = np.asarray(prune_picks(resid, mask, max_resid=2.0))
+    assert out[0, 0, 1] == 0 and out[0, 0, 0] == 1
+    pos = jnp.asarray([[0., 0, 0], [1e3, 0, 0], [500e3, 0, 0]])
+    smask = jnp.ones(3, bool)
+    omask = jnp.ones((3, 4, 2))
+    keep = np.asarray(drop_isolated_sources(pos, smask, omask, min_picks=2))
+    assert keep[0] and keep[1] and not keep[2]  # far source isolated

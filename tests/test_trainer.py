@@ -88,3 +88,29 @@ def test_train_step_runs_and_improves():
         assert np.isfinite(float(metrics["loss"]))
         losses.append(float(metrics["loss"]))
     assert int(state.step) == 3
+
+
+def test_fixed_subnetworks_used_in_windows():
+    import jax.numpy as jnp
+    from genie_tpu.synth.generator import make_windows, synthesize_timeline
+
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    n_sta = ctx.sta_cart.shape[0]
+    subnet = np.zeros((2, n_sta), bool)
+    subnet[0, :5] = True
+    subnet[1, 5:10] = True
+    tl = synthesize_timeline(
+        jax.random.PRNGKey(0), cfg.synth, ctx.sta_cart, tt.from_cart,
+        ctx.scale_cart, ctx.offset_cart,
+        (ctx.offset_cart[2], ctx.offset_cart[2] + ctx.scale_cart[2]),
+        n_sta_real=n_sta)
+    cfg.train.n_batch = 8
+    wb = make_windows(
+        jax.random.PRNGKey(5), cfg.synth, cfg.train, cfg.graph, tl,
+        ctx.sta_cart, ctx.grids_cart, ctx.trv_grids, ctx.scale_cart,
+        ctx.offset_cart, subnetworks=jnp.asarray(subnet))
+    masks = np.asarray(wb.sta_mask)
+    # at least one window uses one of the two provided subnetworks verbatim
+    hit = any((masks[i] == subnet[j]).all() for i in range(8) for j in range(2))
+    assert hit
