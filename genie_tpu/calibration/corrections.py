@@ -54,6 +54,18 @@ def interp_anisotropic(grid_cart, coefs, src_cart, kernels, k: int = 5):
     return (coefs[idx] * w.reshape(w.shape + extra)).sum(axis=1)
 
 
+def interp_scattered(points, values, query, k: int = 8, p: float = 2.0):
+    """Inverse-distance-weighted scattered interpolation (the reference's
+    ``NNInterp`` natural-neighbour-style class, process_utils.py:1543-1629,
+    unused on its main path but part of the public surface)."""
+    idx, _ = knn(points / 1.0, query / 1.0, min(k, points.shape[0]))
+    d = jnp.linalg.norm(query[:, None, :] - points[idx], axis=-1)
+    w = 1.0 / jnp.maximum(d, 1e-6) ** p
+    w = w / w.sum(axis=1, keepdims=True)
+    extra = (1,) * (values.ndim - 1)
+    return (values[idx] * w.reshape(w.shape + extra)).sum(axis=1)
+
+
 def rw_laplacian_apply(x, nbr):
     """Random-walk-normalized graph Laplacian: (L x)_i = x_i − mean_j x_j
     over the kNN graph (get_laplacian('rw') twin)."""

@@ -83,3 +83,13 @@ def test_matched_catalog_stats():
     assert s["n_matched"] == 2
     assert abs(s["detection_rate"] - 2 / 3) < 1e-9
     assert s["detection_rate_M2"] == 1.0
+
+
+def test_interp_scattered_idw():
+    from genie_tpu.calibration.corrections import interp_scattered
+    pts = np.array([[0., 0, 0], [10e3, 0, 0]], np.float32)
+    vals = np.array([1.0, 3.0], np.float32)
+    q = np.array([[0., 0, 0], [5e3, 0, 0]], np.float32)
+    out = np.asarray(interp_scattered(jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(q), k=2))
+    assert abs(out[0] - 1.0) < 1e-3      # at a data point → its value
+    assert abs(out[1] - 2.0) < 0.2       # midpoint → average
