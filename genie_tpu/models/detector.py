@@ -91,6 +91,9 @@ class Detector(nn.Module):
     # MXU matmul aggregation (vs fixed-k gather): exact, much faster for
     # n_src/n_sta up to a few thousand — see ops/segment.py
     via_matmul: bool = False
+    # count-normalized bipartite read-in (conditioning aid for large
+    # networks; see layers.BipartiteReadIn.normalize)
+    normalize_readin: bool = False
 
     @property
     def scale_t(self) -> float:
@@ -103,7 +106,7 @@ class Detector(nn.Module):
     def setup(self):
         in_ch = 4 + (6 if self.use_absolute_pos else 0)
         self.data_agg = DataAggregation(in_channels=in_ch, out_channels=15, via_matmul=self.via_matmul)
-        self.read_in = BipartiteReadIn(30, 15)
+        self.read_in = BipartiteReadIn(30, 15, normalize=self.normalize_readin)
         self.spatial1 = SpatialAggregation(15, 30, scale_rel=self.scale_rel)
         self.spatial2 = SpatialAggregation(30, 30, scale_rel=self.scale_rel)
         self.spatial3 = SpatialAggregation(30, 30, scale_rel=self.scale_rel)

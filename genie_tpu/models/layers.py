@@ -86,6 +86,11 @@ class BipartiteReadIn(nn.Module):
 
     ndim_in: int = 30
     ndim_out: int = 15
+    # normalize the station sum by the active-station count (with a learnable
+    # gain): conditioning aid for large networks (100s of stations) where the
+    # reference's raw 'add' aggregation produces very large embeddings and
+    # slows detection-head learning. Default False = reference behaviour.
+    normalize: bool = False
 
     @nn.compact
     def __call__(self, x, edge_feat, mask, sta_mask):
@@ -95,6 +100,9 @@ class BipartiteReadIn(nn.Module):
         gate = mask.max(axis=-1, keepdims=True)  # pick-presence per product node
         gate = gate * sta_mask[None, :, None]
         out = (msg * gate).sum(axis=1)  # sum over stations
+        if self.normalize:
+            gain = self.param("sum_gain", lambda k: jnp.asarray(8.0))
+            out = out * gain / jnp.maximum(gate.sum(axis=1), 1.0)
         return act2(nn.Dense(self.ndim_out, name="fc2")(out))
 
 
