@@ -143,7 +143,7 @@ def main():
     print(f"NC network: {sta_lla.shape[0]} stations; domain "
           f"{cfg.region.lat_range} x {cfg.region.lon_range}", flush=True)
 
-    model = Detector(src_chunk=16)
+    model = Detector(src_chunk=16, normalize_readin=True, via_matmul=True)
     if args.load_params:
         params = pickle.loads(Path(args.load_params).read_bytes())
     else:
