@@ -143,7 +143,10 @@ def main():
     print(f"NC network: {sta_lla.shape[0]} stations; domain "
           f"{cfg.region.lat_range} x {cfg.region.lon_range}", flush=True)
 
-    model = Detector(src_chunk=16, normalize_readin=True, via_matmul=True)
+    # train without matmul-agg (remat rebuilds the aggregation matrices in
+    # the backward); infer with it (forward-only, faster sweeps)
+    model = Detector(src_chunk=16, normalize_readin=True)
+    model_inf = Detector(src_chunk=16, normalize_readin=True, via_matmul=True)
     if args.load_params:
         params = pickle.loads(Path(args.load_params).read_bytes())
     else:
@@ -163,7 +166,7 @@ def main():
             jax.tree.map(np.asarray, state.params)))
         params = state.params
 
-    pipe = InferencePipeline(model, params, cfg, ctx, tt.from_cart)
+    pipe = InferencePipeline(model_inf, params, cfg, ctx, tt.from_cart)
     results = {}
     for day in args.days:
         pick_t, pick_sta, pick_ph, prob, ind_use, cat, ref_srcs = load_day(day)
