@@ -259,7 +259,12 @@ def featurize_window(tpick, ipick, phase, pick_mask, trv_grid, kernel_sig_t,
     Returns (feat, mask) each (n_src, n_sta, 4): channels = nearest-any-pick
     vs theoretical P, vs S; nearest same-phase pick vs P, vs S (:1079-1093).
     """
-    OFF = 1e5  # > any in-window time span, separates stations in sort keys
+    # Station-separating offset for the shared sort keys. Must exceed every
+    # time in play but stay SMALL: float32 resolution at n_sta·OFF must be
+    # far below kernel_sig_t (with OFF=1e5 and 374 stations, keys reach
+    # 3.7e7 where f32 eps ≈ 4 s — features at high station indices would be
+    # quantized to noise).
+    OFF = jnp.maximum(jnp.max(jnp.abs(tpick)), jnp.max(trv_grid)) * 1.25 + 100.0
     n_pick = tpick.shape[0]
 
     def sorted_keys(valid):
@@ -351,8 +356,10 @@ def make_windows(key, cfg, tcfg, gcfg, tl: Timeline, sta_cart, grids_cart,
         prio = jnp.where(in_win, -jnp.abs(t_rel - t_win / 2), -jnp.inf)
         _, sel = jax.lax.top_k(prio, n_pick)
         pmask = in_win[sel]
-        # stable ordering: (station, time) lexsort as the reference (:1129)
-        order = jnp.argsort(jnp.where(pmask, tl.pick_sta[sel] * 1e6 + t_rel[sel], jnp.inf))
+        # stable ordering: (station, time) lexsort as the reference (:1129);
+        # span-scaled multiplier keeps f32 key resolution well under 1 s
+        key_off = t_win + max_t + 40.0
+        order = jnp.argsort(jnp.where(pmask, tl.pick_sta[sel] * key_off + t_rel[sel], jnp.inf))
         sel = sel[order]
         pmask = pmask[order]
         tp = jnp.where(pmask, t_rel[sel], 0.0)

@@ -114,3 +114,27 @@ def test_fixed_subnetworks_used_in_windows():
     # at least one window uses one of the two provided subnetworks verbatim
     hit = any((masks[i] == subnet[j]).all() for i in range(8) for j in range(2))
     assert hit
+
+
+def test_featurization_precision_at_high_station_index():
+    """Regression: with 374 stations the sort-key offset must not destroy
+    sub-second time resolution in float32 (station-separating offset must be
+    span-scaled, not a large constant)."""
+    import jax.numpy as jnp
+    from genie_tpu.synth.generator import featurize_window
+
+    n_src, n_sta = 20, 374
+    rng = np.random.default_rng(0)
+    trv = rng.uniform(5, 200, (n_src, n_sta, 2)).astype(np.float32)
+    s_true = 7
+    # picks exactly at the theoretical P times of source s_true at the LAST
+    # stations (the worst-precision keys)
+    stas = np.arange(n_sta - 8, n_sta)
+    tp = trv[s_true, stas, 0]
+    feat, _ = featurize_window(
+        jnp.asarray(tp), jnp.asarray(stas.astype(np.int32)),
+        jnp.asarray(np.zeros((len(stas), 1), np.float32)),
+        jnp.ones(len(stas), bool), jnp.asarray(trv), 3.0,
+        jnp.ones(n_sta, bool))
+    f = np.asarray(feat)
+    assert (f[s_true, stas, 0] > 0.99).all()
