@@ -389,6 +389,18 @@ def make_windows(key, cfg, tcfg, gcfg, tl: Timeline, sta_cart, grids_cart,
         # --- queries ------------------------------------------------------
         kq, kqs, kf = jax.random.split(kw, 3)
         x_query = jax.random.uniform(kq, (n_q, 3)) * scale_cart + offset_cart
+        # first slots = EXACT active source positions (ref :1195 overwrites
+        # x_query[0:len(lp_srcs)] with the true sources — this is what makes
+        # near-1 query labels, the strong detection learning signal)
+        E_ = tl.ev_pos_cart.shape[0]
+        ev_order0 = jnp.argsort(jnp.where(active, jnp.arange(E_), E_ + jnp.arange(E_)))
+        n_exact = min(n_q // 10, E_)
+        exact_rows = jnp.arange(n_exact)
+        take_exact = exact_rows < active.sum()
+        x_query = x_query.at[exact_rows].set(
+            jnp.where(take_exact[:, None],
+                      tl.ev_pos_cart[ev_order0[exact_rows]],
+                      x_query[exact_rows]))
         # 20% focused near active sources (:1193-1211)
         n_foc = n_q // 5
         ev_sel = jax.random.categorical(
@@ -398,8 +410,10 @@ def make_windows(key, cfg, tcfg, gcfg, tl: Timeline, sta_cart, grids_cart,
         foc = tl.ev_pos_cart[ev_sel] + 2.0 * jax.random.normal(
             jax.random.fold_in(kq, 2), (n_foc, 3)) * jnp.asarray(
             [tcfg.src_x_kernel, tcfg.src_x_kernel, tcfg.src_depth_kernel])
+        # focused rows start AFTER the exact-position rows
         x_query = jnp.where(active.any(),
-                            x_query.at[:n_foc].set(foc), x_query)
+                            x_query.at[n_exact:n_exact + n_foc].set(foc),
+                            x_query)
 
         # association query sources: true active sources first, rest random
         x_qsrc = jax.random.uniform(kqs, (n_qsrc, 3)) * scale_cart + offset_cart
