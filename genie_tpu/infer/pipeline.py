@@ -287,8 +287,9 @@ class InferencePipeline:
         cfg = self.cfg
         if len(srcs) == 0:
             return []
-        # one association window anchored at the group start
-        t0 = srcs[:, 3].min() - cfg.model.t_win / 2
+        # one association window anchored so query times fall in the trained
+        # tq range (~[0, t_win])
+        t0 = srcs[:, 3].min() - cfg.model.t_win / 4
         tp, ip, ph, pm, sel = self._window_picks(pick_t, pick_sta, pick_phase, t0)
         n_pad = n_qsrc_pad or max(8, len(srcs))
         xq = np.zeros((n_pad, 3), np.float32)
