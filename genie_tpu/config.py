@@ -176,6 +176,10 @@ class TrainConfig:
     # scan+remat windows instead of vmap: 1-window activation memory
     # (needed at large station×grid scales), ~2x backward FLOPs
     sequential_windows: bool = False
+    # up-weight positive detection-label cells by (1 + boost·label):
+    # counteracts the sparse-label gradient starvation of the detection
+    # heads at large grids (0 = reference-equivalent plain MSE)
+    positive_boost: float = 0.0
 
 
 @dataclass

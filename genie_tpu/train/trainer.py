@@ -121,8 +121,19 @@ def loss_fn(model: Detector, params, ctx: DomainContext, cfg: Config,
     """Weighted masked MSE over the 4 outputs, vmapped over windows."""
     def one(wb_i):
         y, x, arv_p, arv_s = window_forward(model, params, ctx, cfg, wb_i, trv_from_cart)
-        l_grid = ((y[:, :, 0] - wb_i.lbl_grid) ** 2).mean()
-        l_query = ((x[:, :, 0] - wb_i.lbl_query) ** 2).mean()
+        # Optional positive-cell up-weighting: at large grids the Gaussian
+        # label bumps cover ~10 of 10^4+ cells and plain-mean MSE gives the
+        # detection heads ~100x smaller gradients than the association heads
+        # (measured; see RESULTS.md). boost b reweights cell i by
+        # (1 + b·lbl_i), normalized — b=0 reproduces the reference loss.
+        b = cfg.train.positive_boost
+
+        def wmse(pred, lbl):
+            w_cell = 1.0 + b * lbl
+            return ((pred - lbl) ** 2 * w_cell).sum() / w_cell.sum()
+
+        l_grid = wmse(y[:, :, 0], wb_i.lbl_grid)
+        l_query = wmse(x[:, :, 0], wb_i.lbl_query)
         pm = wb_i.pick_mask[None, :]
         denom = jnp.maximum(pm.sum() * arv_p.shape[0], 1)
         l_p = (((arv_p[:, :, 0] - wb_i.lbl_assoc[:, :, 0]) ** 2) * pm).sum() / denom
