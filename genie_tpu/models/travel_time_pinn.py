@@ -233,6 +233,23 @@ def train_pinn(key, model: TravelTimesPN, scales: ScaleParams, sample_fn,
     return params
 
 
+def velocity_r2(model: TravelTimesPN, params, scales: ScaleParams, src_n,
+                v_true_phys):
+    """R² of the recovered velocity field vs truth — the reference's
+    train/validation velocity-recovery check
+    (calculate_travel_times_3D_train_model.py:1073-1246).
+
+    src_n: (n, 3) normalized sample positions; v_true_phys: (n, n_phases) m/s.
+    """
+    v_n = model.apply(params, jnp.asarray(src_n), None,
+                      method=TravelTimesPN.velocity)
+    v_phys = np.asarray(v_n) * float(scales.conversion_factor)
+    v_true = np.asarray(v_true_phys)
+    ss_res = ((v_phys - v_true) ** 2).sum(axis=0)
+    ss_tot = ((v_true - v_true.mean(axis=0)) ** 2).sum(axis=0) + 1e-12
+    return 1.0 - ss_res / ss_tot
+
+
 def scales_from_domain(center, x_scale, t_scale, v_mean) -> ScaleParams:
     return ScaleParams(
         center=jnp.asarray(center, jnp.float32),

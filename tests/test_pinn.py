@@ -63,3 +63,17 @@ def test_pinn_differentiable_for_relocation():
 
     g = jax.grad(f)(jnp.asarray([1e4, -2e4, -5e3], jnp.float32))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_velocity_r2_helper():
+    from genie_tpu.models.travel_time_pinn import velocity_r2
+    scales = scales_from_domain([0.0, 0.0, 0.0], 1e5, 30.0, [5000.0, 2800.0])
+    model = TravelTimesPN()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+                        scales.conversion_factor, scales.v_mean, scales.t_scale,
+                        method=TravelTimesPN.init_all)
+    src = np.random.default_rng(0).uniform(-0.5, 0.5, (50, 3)).astype(np.float32)
+    v_true = np.full((50, 2), 5000.0, np.float32)
+    r2 = velocity_r2(model, params, scales, src, v_true)
+    assert r2.shape == (2,)
+    assert np.isfinite(r2).all()
