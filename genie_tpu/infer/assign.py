@@ -12,11 +12,14 @@ needs no external ILP solver:
 Key structure: GIVEN an active source set, the inner problem decomposes per
 station into small optimal bipartite matchings (arrivals at that station ×
 (active source, phase) slots) — solved exactly with
-``scipy.optimize.linear_sum_assignment``. Source activation is then a
-set-function optimization handled by greedy descent + single-flip local
-search, which is exact for the component sizes the pipeline produces
-(components are split to ≤ max_sources ≈ 15 sources upstream, matching the
-reference's spectral splitting).
+``scipy.optimize.linear_sum_assignment``. Source activation is a
+set-function optimization: for ≤ ``exact_max_sources`` sources every
+activation subset is enumerated (provably optimal — the common case, since
+components are split to ≤ max_sources ≈ 15 upstream, matching the
+reference's spectral splitting); above that, greedy single-flip descent with
+a pair-flip escape on the *effective* objective (unused active sources cost
+nothing, as they are pruned from the solution). Randomized comparison
+against brute force lives in tests/test_infer_components.py.
 
 ``competitive_assignment_split`` (ref :1045-1209) is the relaxed variant used
 to divide picks between two source clusters: the per-(station, source, phase)
@@ -68,45 +71,80 @@ def _solve_given_active(weights, ipick, active, min_weight=0.0):
     return total, assign
 
 
+def _effective(weights, ipick, act, cost, min_weight):
+    """Objective with unused active sources pruned (they cost nothing in the
+    final solution, so the search must not be charged for them either)."""
+    t, a = _solve_given_active(weights, ipick, act, min_weight)
+    used = np.zeros(len(act), bool)
+    hit = a[:, 0] >= 0
+    used[a[hit, 0]] = True
+    eff = act & used
+    return t - cost * eff.sum(), a, eff
+
+
 def competitive_assignment(weights, ipick, cost, min_weight: float = 0.0,
-                           force_n_sources: int | None = None):
+                           force_n_sources: int | None = None,
+                           exact_max_sources: int = 10):
     """Solve the activation + assignment problem.
 
     weights: (n_arv, n_src, 2) association scores (thresholded upstream);
     ipick: (n_arv,) station of each arrival; cost: activation penalty per
     source (ref `cost`); returns (assign (n_arv, 2), active (n_src,) bool).
+
+    Exact (full subset enumeration) for n_src ≤ exact_max_sources; otherwise
+    single-flip descent + pair-flip escape on the effective objective.
     """
     n_arv, n_src, _ = weights.shape
     if n_arv == 0 or n_src == 0:
         return -np.ones((n_arv, 2), np.int64), np.zeros(n_src, bool)
 
-    active = np.ones(n_src, bool)
-    best_total, best_assign = _solve_given_active(weights, ipick, active, min_weight)
-    best_obj = best_total - cost * active.sum()
+    if force_n_sources is None and n_src <= exact_max_sources:
+        # exact: sources never picked by any arrival can be fixed inactive
+        cand_src = np.where((weights > min_weight).any(axis=(0, 2)))[0]
+        best_obj, best_assign = 0.0, -np.ones((n_arv, 2), np.int64)
+        best_act = np.zeros(n_src, bool)
+        for bits in range(1, 1 << len(cand_src)):
+            act = np.zeros(n_src, bool)
+            act[cand_src[[i for i in range(len(cand_src)) if bits >> i & 1]]] = True
+            obj, a, eff = _effective(weights, ipick, act, cost, min_weight)
+            if obj > best_obj + 1e-12:
+                best_obj, best_assign, best_act = obj, a, eff
+        return best_assign, best_act
 
+    best_obj, best_assign, best_act = _effective(
+        weights, ipick, np.ones(n_src, bool), cost, min_weight)
+    active = best_act.copy()
     improved = True
     while improved:
         improved = False
-        # try flipping each source (drop if active, add if not)
         order = np.argsort([weights[:, q, :].sum() for q in range(n_src)])
         for q in order:
             if force_n_sources is not None and active.sum() <= force_n_sources and active[q]:
                 continue
             cand = active.copy()
             cand[q] = ~cand[q]
-            t, a = _solve_given_active(weights, ipick, cand, min_weight)
-            obj = t - cost * cand.sum()
+            obj, a, eff = _effective(weights, ipick, cand, cost, min_weight)
             if obj > best_obj + 1e-9:
-                best_obj, best_total, best_assign = obj, t, a
+                best_obj, best_assign, best_act = obj, a, eff
                 active = cand
                 improved = True
-    # sources with no assigned picks are inactive
-    used = np.zeros(n_src, bool)
-    for i in range(n_arv):
-        if best_assign[i, 0] >= 0:
-            used[best_assign[i, 0]] = True
-    active = active & used
-    return best_assign, active
+        if not improved and force_n_sources is None:
+            # pair-flip escape (e.g. swap one active source for another)
+            for q1 in range(n_src):
+                for q2 in range(q1 + 1, n_src):
+                    cand = active.copy()
+                    cand[q1] = ~cand[q1]
+                    cand[q2] = ~cand[q2]
+                    obj, a, eff = _effective(weights, ipick, cand, cost,
+                                             min_weight)
+                    if obj > best_obj + 1e-9:
+                        best_obj, best_assign, best_act = obj, a, eff
+                        active = cand
+                        improved = True
+                        break
+                if improved:
+                    break
+    return best_assign, best_act
 
 
 def competitive_assignment_split(weights, ipick, cost):

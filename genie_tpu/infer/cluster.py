@@ -41,10 +41,21 @@ def connected_components(n, edges):
 
 
 def local_marching(cands, values, tc_win: float = 5.0, sp_win: float = 17.5e3,
-                   depth_weight: float = 0.25, n_steps: int = 30):
+                   depth_weight: float = 1.0, n_steps: int = 100,
+                   tol: float = 1e-12):
     """cands: (n, 4) (x, y, z, t) Cartesian; values: (n,) detection scores.
 
-    Returns indices of surviving local maxima (one per cluster core).
+    Directed max-flooding, matching the reference's LocalMarching
+    (process_utils.py:40-100): build the ε-graph (|Δt| < tc_win AND
+    ‖Δx‖ < sp_win with depth scaled by ``depth_weight``), keep only edges
+    j→i with value_j ≥ value_i (plus the implicit self-loop from the
+    ball query), and iterate v_i ← max over incoming j of v_j to a fixed
+    point. Survivors are the nodes whose flooded value equals their
+    original value — i.e. every local maximum, so a transitive chain of
+    candidates does NOT collapse to one detection per connected component
+    (multiple events inside one chain each keep their own peak).
+
+    Returns indices of surviving local maxima.
     """
     n = len(cands)
     if n == 0:
@@ -53,38 +64,28 @@ def local_marching(cands, values, tc_win: float = 5.0, sp_win: float = 17.5e3,
         return np.zeros(1, np.int64)
 
     pos = cands[:, :3].copy()
-    pos[:, 2] *= depth_weight  # depth down-weighted as the reference
+    pos[:, 2] *= depth_weight  # ref scale_depth (default 1.0)
     t = cands[:, 3]
+    values = np.asarray(values, np.float64)
 
     close_t = np.abs(t[:, None] - t[None, :]) < tc_win
     d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
     adj = close_t & (d2 < sp_win**2)
-    np.fill_diagonal(adj, False)
 
-    ii, jj = np.where(adj)
-    labels = connected_components(n, zip(ii.tolist(), jj.tolist()))
+    # directed: node i receives only from neighbours j with value_j >= value_i
+    # (original values fix the flow field); diagonal keeps the self value
+    recv = adj & (values[None, :] >= values[:, None])
+    np.fill_diagonal(recv, True)
 
-    # iterative max-propagation: a candidate survives if it still holds the
-    # maximum of its neighbourhood after value flooding (ref :70-100)
     v = values.copy()
     for _ in range(n_steps):
-        v_new = v.copy()
-        for i in range(n):
-            nb = np.where(adj[i])[0]
-            if len(nb):
-                v_new[i] = max(v[i], v[nb].max())
-        if np.allclose(v_new, v):
+        flooded = np.where(recv, v[None, :], -np.inf).max(axis=1)
+        if np.abs(flooded - v).max() <= tol:
+            v = flooded
             break
-        v = v_new
-
-    keep = []
-    for lab in np.unique(labels):
-        members = np.where(labels == lab)[0]
-        # the member whose original value equals the flooded component max
-        comp_max = values[members].max()
-        best = members[np.argmax(values[members])]
-        keep.append(best)
-    return np.array(sorted(keep), np.int64)
+        v = flooded
+    keep = np.where(np.abs(v - values) <= tol * np.maximum(1, np.abs(values)))[0]
+    return keep.astype(np.int64)
 
 
 def find_peaks_1d(x, thresh: float, min_spacing: int = 1):

@@ -7,19 +7,28 @@ associated picks. Stages:
   1. DETECTION SWEEP — sliding windows; per window: featurize picks on the
      dense product layout (same searchsorted trick as training) and run
      ``forward_detection_only`` on a fixed query grid. Windows are batched
-     and scanned on device; overlapping outputs are max-stacked.
+     and scanned on device; all grids are run and ensemble-averaged unless
+     ``use_only_one_grid`` (ref :620-649, :797-805); overlapping outputs are
+     average-stacked streaming into one (n_query, n_bins) day series.
   2. PEAKS — per query node, local maxima over time above ``thresh``
      (ref :812-849).
   3. GROUPS + CLUSTERING — split candidates at ≥break_win gaps, LocalMarching
      per group (ref :851-890).
   4. REFINEMENT — per surviving source, dense random re-query around the
-     candidate and argmax (ref :917-1005, simplified to one batched query).
+     candidate and argmax, chunked on device up to ``n_rand_query`` offsets
+     (ref :917-1005).
   5. ASSOCIATION — full forward at the refined sources → per-pick P/S scores
      (ref :1020-1065).
   6. COMPETITIVE ASSIGNMENT over connected components of the source-pick
      weight graph (ref :1169-1533).
-  7. LOCATION + uncertainty per source with residual trimming (ref
-     :1576-1960), then min-picks/min-stations quality filter.
+  7. LOCATION + QC — trimmed-DE location, residual-based pick deletion and
+     one re-location pass, autograd covariance, uncertainty-based outlier
+     removal (ref :1576-1960, :2097-2152), then min-picks/min-stations
+     filter; optional magnitudes (ref :2002-2031).
+
+Per-day station subsets (``sta_ind_use``) are first-class: masked stations
+are excluded from featurization, the station graph, and pick windows —
+matching the training distribution of random/observed subnetworks.
 
 The embedded featurization self-check of the reference (:651-697) is
 exposed as :func:`self_check_featurization` and run in the test suite.
@@ -27,7 +36,7 @@ exposed as :func:`self_check_featurization` and run in the test suite.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 import numpy as np
@@ -35,7 +44,12 @@ import jax
 import jax.numpy as jnp
 
 from genie_tpu.config import Config
-from genie_tpu.graphs.build import build_pair_table, build_query_attachment
+from genie_tpu.graphs.build import (
+    build_pair_table,
+    build_query_attachment,
+    build_station_graph,
+    kmeans_packing,
+)
 from genie_tpu.infer.assign import competitive_assignment
 from genie_tpu.infer.cluster import (
     connected_components,
@@ -57,6 +71,7 @@ class CatalogEvent:
     pick_phases: np.ndarray    # 0/1 per assigned pick
     cov: np.ndarray | None = None
     mag: float | None = None
+    score: float | None = None
 
 
 def _make_graph(ctx: DomainContext, g: int, sta_mask, sta_nbr, sta_nbr_valid):
@@ -68,43 +83,76 @@ def _make_graph(ctx: DomainContext, g: int, sta_mask, sta_nbr, sta_nbr_valid):
     )
 
 
+def build_query_grid(key, ctx: DomainContext, n: int, n_steps: int = 100):
+    """kmeans-pack ``n`` detection query nodes over the Cartesian domain —
+    the reference's dedicated ``n_query_grid`` query set
+    (process_continuous_days.py:436-462; cached by the caller)."""
+    v = kmeans_packing(key, np.asarray(ctx.scale_cart),
+                       np.asarray(ctx.offset_cart), n, lambda x: x,
+                       weight=np.array([1.0, 1.0, 2.5]), n_steps=n_steps)
+    return np.asarray(v, np.float32)
+
+
 class InferencePipeline:
     """Stateful wrapper holding the model, domain, and compiled kernels."""
 
     def __init__(self, model: Detector, params, cfg: Config, ctx: DomainContext,
-                 trv_from_cart: Callable, x_query_grid=None, n_t: int = 9):
+                 trv_from_cart: Callable, x_query_grid=None, n_t: int = 9,
+                 sta_ind_use=None, mag_model=None, verbose: bool = False):
         self.model = model
         self.params = params
         self.cfg = cfg
         self.ctx = ctx
         self.trv = trv_from_cart
         self.n_t = n_t
-        n_sta = ctx.sta_cart.shape[0]
-        self.sta_mask = jnp.ones(n_sta, bool)
-        from genie_tpu.graphs.build import build_station_graph
-        self.sta_nbr, self.sta_nbr_valid = build_station_graph(
-            ctx.sta_cart, cfg.graph.k_sta_edges, self.sta_mask)
-        # fixed detection query grid (defaults to grid 0 nodes; the reference
-        # kmeans-packs n_query_grid fresh nodes, :436-462)
+        self.mag = mag_model
+        self.verbose = verbose
+        self.n_grids = int(ctx.grids_cart.shape[0])
+        self.set_station_mask(sta_ind_use)
+        # detection query set: explicit > kmeans-packed n_query_grid > grid 0
+        if x_query_grid is None and cfg.process.n_query_grid:
+            x_query_grid = build_query_grid(jax.random.PRNGKey(11), ctx,
+                                            cfg.process.n_query_grid)
         self.x_query = (jnp.asarray(x_query_grid) if x_query_grid is not None
                         else ctx.grids_cart[0])
-        self.t_query = jnp.linspace(-cfg.model.t_win / 2, cfg.model.t_win / 2, n_t)[:, None]
+        self.t_query = jnp.linspace(-cfg.model.t_win / 2, cfg.model.t_win / 2,
+                                    n_t)[:, None]
         self._xq_idx = [build_query_attachment(ctx.grids_cart[g], self.x_query,
                                                k=cfg.graph.k_spatial_attn)
-                        for g in range(ctx.grids_cart.shape[0])]
-        self._sweep_fn = jax.jit(self._sweep_window, static_argnames=("grid",))
+                        for g in range(self.n_grids)]
         self._sweep_batch_fn = jax.jit(
-            jax.vmap(self._sweep_window, in_axes=(0, 0, 0, 0, None)),
-            static_argnums=(4,))
+            jax.vmap(self._sweep_window,
+                     in_axes=(0, 0, 0, 0, None, None, None, None)),
+            static_argnums=(7,))
         self._assoc_fn = jax.jit(self._assoc_window, static_argnames=("grid",))
+        self._refine_fn = jax.jit(self._refine_window, static_argnames=("grid",))
+
+    # -- station subsets ----------------------------------------------------
+    def set_station_mask(self, sta_ind_use=None):
+        """Restrict to a day's operating subnetwork (``sta_ind_use``) —
+        masked stations drop out of features, graphs, and pick windows."""
+        n_sta = self.ctx.sta_cart.shape[0]
+        if sta_ind_use is None:
+            mask = np.ones(n_sta, bool)
+        else:
+            sta_ind_use = np.asarray(sta_ind_use)
+            if sta_ind_use.dtype == bool:
+                mask = sta_ind_use.copy()
+            else:
+                mask = np.zeros(n_sta, bool)
+                mask[sta_ind_use] = True
+        self._active_sta = mask
+        self.sta_mask = jnp.asarray(mask)
+        self.sta_nbr, self.sta_nbr_valid = build_station_graph(
+            self.ctx.sta_cart, self.cfg.graph.k_sta_edges, self.sta_mask)
 
     # -- stage 1: detection sweep -----------------------------------------
-    def _sweep_window(self, tpick, ipick, phase, pick_mask, grid: int):
+    def _sweep_window(self, tpick, ipick, phase, pick_mask, sta_mask, sta_nbr,
+                      sta_nbr_valid, grid: int):
         feat, fmask = featurize_window(
             tpick, ipick, phase, pick_mask, self.ctx.trv_grids[grid],
-            self.cfg.train.src_t_kernel, self.sta_mask)
-        graph = _make_graph(self.ctx, grid, self.sta_mask, self.sta_nbr,
-                            self.sta_nbr_valid)
+            self.cfg.train.src_t_kernel, sta_mask)
+        graph = _make_graph(self.ctx, grid, sta_mask, sta_nbr, sta_nbr_valid)
         y, x = self.model.apply(
             self.params, feat, fmask, graph, self.ctx.sta_cart,
             self.x_query, self._xq_idx[grid], self.t_query,
@@ -112,13 +160,23 @@ class InferencePipeline:
         return x[:, :, 0]  # (n_query, n_t)
 
     def _window_picks(self, pick_t, pick_sta, pick_phase, t0):
-        """Pad/slice the day pick arrays to one window (host side)."""
+        """Pad/slice the day pick arrays to one window (host side), with the
+        training generator's center-priority selection on overflow
+        (synth/generator.py window selection) instead of silent truncation."""
         cfg = self.cfg
         max_t = float(np.max(np.asarray(self.ctx.trv_grids)))
         n_pick = cfg.graph.max_picks
         rel = pick_t - t0
-        sel = np.where((rel > -10.0) & (rel < cfg.model.t_win + max_t + 10.0))[0]
-        sel = sel[:n_pick]
+        ok = ((rel > -10.0) & (rel < cfg.model.t_win + max_t + 10.0)
+              & self._active_sta[pick_sta])
+        sel = np.where(ok)[0]
+        if len(sel) > n_pick:
+            self._overflow += 1
+            prio = -np.abs(rel[sel] - cfg.model.t_win / 2)
+            sel = sel[np.argsort(-prio)[:n_pick]]
+        # stable (station, time) ordering as in training
+        order = np.lexsort((rel[sel], pick_sta[sel]))
+        sel = sel[order]
         tp = np.zeros(n_pick, np.float32)
         ip = np.zeros(n_pick, np.int32)
         ph = np.zeros((n_pick, 1), np.float32)
@@ -130,16 +188,24 @@ class InferencePipeline:
         return tp, ip, ph, pm, sel
 
     def detection_sweep(self, pick_t, pick_sta, pick_phase, t_start, t_end,
-                        grid: int = 0, window_batch: int = 16):
-        """Slide over [t_start, t_end); returns (times, values (n_win, n_q, n_t)).
-        Windows are batched ``window_batch`` at a time through one vmapped
-        device call (the per-day hot loop, ref :761-810)."""
+                        grids=None, window_batch: int = 16):
+        """Slide over [t_start, t_end); ensemble-average over ``grids``
+        (default: all, unless use_only_one_grid) and overlap-stack streaming
+        into one day series. Returns (times_s (n_bins,), series (n_q, n_bins))."""
         cfg = self.cfg
+        if grids is None:
+            grids = [0] if cfg.process.use_only_one_grid else list(range(self.n_grids))
         step = cfg.model.t_win / cfg.process.step_size
         t0s = np.arange(t_start, t_end, step)
+        t_rel = np.linspace(-cfg.model.t_win / 2, cfg.model.t_win / 2, self.n_t)
+        dt_axis = t_rel[1] - t_rel[0] if self.n_t > 1 else 1.0
+        t_min = t_start - cfg.model.t_win / 2
+        n_bins = int(np.round((t_end + cfg.model.t_win / 2 - t_min) / dt_axis)) + 1
         n_q = self.x_query.shape[0]
-        outs = np.zeros((len(t0s), n_q, self.n_t), np.float32)
-        # host-side pick windowing for all windows first
+        acc = np.zeros((n_q, n_bins), np.float32)
+        cnt = np.zeros(n_bins, np.float32)
+
+        self._overflow = 0
         batch_idx, batch_data = [], []
         for w, t0 in enumerate(t0s):
             tp, ip, ph, pm, _ = self._window_picks(pick_t, pick_sta, pick_phase, t0)
@@ -147,6 +213,10 @@ class InferencePipeline:
                 continue  # quiescent skip (ref :725-754)
             batch_idx.append(w)
             batch_data.append((tp, ip, ph, pm))
+        if self._overflow:
+            print(f"[pipeline] pick overflow in {self._overflow}/{len(t0s)} "
+                  f"windows (max_picks={cfg.graph.max_picks}); kept "
+                  f"center-priority picks", flush=True)
         for s in range(0, len(batch_idx), window_batch):
             chunk = batch_data[s:s + window_batch]
             pad = window_batch - len(chunk)
@@ -156,41 +226,35 @@ class InferencePipeline:
             ip = jnp.asarray(np.stack([c[1] for c in chunk]))
             ph = jnp.asarray(np.stack([c[2] for c in chunk]))
             pm = jnp.asarray(np.stack([c[3] for c in chunk]))
-            out = np.asarray(self._sweep_batch_fn(tp, ip, ph, pm, grid))
+            out = None
+            for g in grids:
+                o = np.asarray(self._sweep_batch_fn(
+                    tp, ip, ph, pm, self.sta_mask, self.sta_nbr,
+                    self.sta_nbr_valid, g))
+                out = o if out is None else out + o
+            out /= len(grids)
             for j, w in enumerate(batch_idx[s:s + window_batch]):
-                outs[w] = out[j]
-        return t0s, outs
-
-    # -- stages 2-4: candidates -------------------------------------------
-    def extract_candidates(self, t0s, sweep_vals, thresh=None):
-        """Overlap-stack the sweep onto a regular time axis (the reference's
-        overlap stacking, :802-810: overlapping window estimates of the same
-        absolute time are averaged), then peak-find per query node."""
-        cfg = self.cfg
-        thresh = cfg.process.thresh if thresh is None else thresh
-        n_win, n_q, n_t = sweep_vals.shape
-        t_rel = np.linspace(-cfg.model.t_win / 2, cfg.model.t_win / 2, n_t)
-        dt_axis = t_rel[1] - t_rel[0] if n_t > 1 else 1.0
-        t_abs = (t0s[:, None] + t_rel[None, :])            # (n_win, n_t)
-        t_min = t_abs.min()
-        bins = np.round((t_abs - t_min) / dt_axis).astype(np.int64)
-        n_bins = bins.max() + 1
-        acc = np.zeros((n_q, n_bins), np.float32)
-        cnt = np.zeros(n_bins, np.float32)
-        flat_bins = bins.reshape(-1)
-        np.add.at(cnt, flat_bins, 1.0)
-        vals = sweep_vals.transpose(1, 0, 2).reshape(n_q, -1)  # (n_q, n_win*n_t)
-        for q in range(n_q):
-            np.add.at(acc[q], flat_bins, vals[q])
+                bins = np.round((t0s[w] + t_rel - t_min) / dt_axis).astype(np.int64)
+                acc[:, bins] += out[j]
+                cnt[bins] += 1.0
         series = acc / np.maximum(cnt, 1.0)[None, :]
         times_s = t_min + dt_axis * np.arange(n_bins)
-        cands = []
+        return times_s, series
+
+    # -- stages 2-4: candidates -------------------------------------------
+    def extract_candidates(self, times_s, series, thresh=None):
+        """Peak-find the stacked day series per query node (ref :812-849)."""
+        cfg = self.cfg
+        thresh = cfg.process.thresh if thresh is None else thresh
+        dt_axis = times_s[1] - times_s[0] if len(times_s) > 1 else 1.0
         spacing = max(1, int(1.5 * cfg.train.src_t_kernel / max(dt_axis, 1e-6)))
         xq = np.asarray(self.x_query)
-        for q in range(n_q):
+        cands = []
+        for q in range(series.shape[0]):
             idx = find_peaks_1d(series[q], thresh, min_spacing=spacing)
             for i in idx:
-                cands.append((xq[q, 0], xq[q, 1], xq[q, 2], times_s[i], series[q, i]))
+                cands.append((xq[q, 0], xq[q, 1], xq[q, 2], times_s[i],
+                              series[q, i]))
         if not cands:
             return np.zeros((0, 4)), np.zeros(0)
         cands = np.array(cands)
@@ -210,18 +274,35 @@ class InferencePipeline:
         return np.concatenate(kept_pos), np.concatenate(kept_val)
 
     # -- stage 4: refinement ------------------------------------------------
+    def _refine_window(self, tpick, ipick, phase, pick_mask, xq, grid: int):
+        feat, fmask = featurize_window(
+            tpick, ipick, phase, pick_mask, self.ctx.trv_grids[grid],
+            self.cfg.train.src_t_kernel, self.sta_mask)
+        graph = _make_graph(self.ctx, grid, self.sta_mask, self.sta_nbr,
+                            self.sta_nbr_valid)
+        xq_idx = build_query_attachment(self.ctx.grids_cart[grid], xq,
+                                        k=self.cfg.graph.k_spatial_attn)
+        _, x = self.model.apply(
+            self.params, feat, fmask, graph, self.ctx.sta_cart,
+            xq, xq_idx, self.t_query,
+            method=Detector.forward_detection_only)
+        return x[:, :, 0]
+
     def refine_sources(self, pick_t, pick_sta, pick_phase, srcs, vals,
-                       grid: int = 0, n_rand: int = 1024, key=None):
+                       grid: int = 0, n_rand: int | None = None, key=None,
+                       chunk: int = 4096):
         """Per-source local relocation by dense random re-querying around the
-        candidate (ref :917-1005, n_rand_query offsets → argmax)."""
-        import jax as _jax
+        candidate (ref :917-1005: n_rand_query offsets → argmax), chunked on
+        device."""
         if len(srcs) == 0:
             return srcs, vals
         key = key if key is not None else jax.random.PRNGKey(0)
         cfg = self.cfg
+        n_rand = n_rand if n_rand is not None else cfg.process.n_rand_query
         out = srcs.copy()
         sig = np.array([cfg.process.sp_win, cfg.process.sp_win,
                         0.5 * cfg.process.sp_win], np.float32)
+        t_rel_ax = np.linspace(-cfg.model.t_win / 2, cfg.model.t_win / 2, self.n_t)
         for i in range(len(srcs)):
             # window start at the candidate time: detection outputs live at
             # t0 + t_rel with t_rel ∈ ±t_win/2 (matching training labels)
@@ -229,33 +310,23 @@ class InferencePipeline:
             tp, ip, ph, pm, _ = self._window_picks(pick_t, pick_sta, pick_phase, t0)
             if pm.sum() == 0:
                 continue
-            koff = jax.random.fold_in(key, i)
-            offs = np.asarray(jax.random.normal(koff, (n_rand, 3))) * sig
-            xq = (srcs[i, :3][None] + offs).astype(np.float32)
-            xq[0] = srcs[i, :3]
-            xq_idx = build_query_attachment(self.ctx.grids_cart[grid], xq,
-                                            k=cfg.graph.k_spatial_attn)
-            _, x = self.model.apply(
-                self.params, *self._feat_for(tp, ip, ph, pm, grid),
-                _make_graph(self.ctx, grid, self.sta_mask, self.sta_nbr,
-                            self.sta_nbr_valid), self.ctx.sta_cart,
-                jnp.asarray(xq), xq_idx, self.t_query,
-                method=Detector.forward_detection_only)
-            x = np.asarray(x[:, :, 0])
-            qi, ti = np.unravel_index(np.argmax(x), x.shape)
-            if x[qi, ti] > vals[i]:
-                out[i, :3] = xq[qi]
-                t_rel = np.linspace(-cfg.model.t_win / 2, cfg.model.t_win / 2,
-                                    x.shape[1])[ti]
-                out[i, 3] = t0 + t_rel
-                vals[i] = x[qi, ti]
+            tp, ip, ph, pm = (jnp.asarray(tp), jnp.asarray(ip),
+                              jnp.asarray(ph), jnp.asarray(pm))
+            for c0 in range(0, n_rand, chunk):
+                n_c = min(chunk, n_rand - c0)
+                koff = jax.random.fold_in(jax.random.fold_in(key, i), c0)
+                offs = np.asarray(jax.random.normal(koff, (n_c, 3))) * sig
+                xq = (srcs[i, :3][None] + offs).astype(np.float32)
+                if c0 == 0:
+                    xq[0] = srcs[i, :3]
+                x = np.asarray(self._refine_fn(tp, ip, ph, pm,
+                                               jnp.asarray(xq), grid=grid))
+                qi, ti = np.unravel_index(np.argmax(x), x.shape)
+                if x[qi, ti] > vals[i]:
+                    out[i, :3] = xq[qi]
+                    out[i, 3] = t0 + t_rel_ax[ti]
+                    vals[i] = x[qi, ti]
         return out, vals
-
-    def _feat_for(self, tp, ip, ph, pm, grid):
-        feat, fmask = featurize_window(
-            jnp.asarray(tp), jnp.asarray(ip), jnp.asarray(ph), jnp.asarray(pm),
-            self.ctx.trv_grids[grid], self.cfg.train.src_t_kernel, self.sta_mask)
-        return feat, fmask
 
     # -- stage 5: association ---------------------------------------------
     def _assoc_window(self, tpick, ipick, phase, pick_mask, x_qsrc, tq_sample,
@@ -280,6 +351,13 @@ class InferencePipeline:
             self.params, feat, fmask, graph, self.ctx.sta_cart, picks, queries)
         return arv_p[:, :, 0], arv_s[:, :, 0]
 
+    @staticmethod
+    def _pad_level(n, levels=(8, 16, 32, 64, 128)):
+        for lv in levels:
+            if n <= lv:
+                return lv
+        return int(np.ceil(n / levels[-1]) * levels[-1])
+
     def associate(self, pick_t, pick_sta, pick_phase, srcs, grid: int = 0,
                   n_qsrc_pad: int | None = None):
         """srcs: (n, 4) candidate (x, y, z, t_abs). Returns per-source pick
@@ -291,7 +369,7 @@ class InferencePipeline:
         # tq range (~[0, t_win])
         t0 = srcs[:, 3].min() - cfg.model.t_win / 4
         tp, ip, ph, pm, sel = self._window_picks(pick_t, pick_sta, pick_phase, t0)
-        n_pad = n_qsrc_pad or max(8, len(srcs))
+        n_pad = n_qsrc_pad or self._pad_level(len(srcs))
         xq = np.zeros((n_pad, 3), np.float32)
         tq = np.zeros(n_pad, np.float32)
         xq[:len(srcs)] = srcs[:, :3]
@@ -344,46 +422,93 @@ class InferencePipeline:
                     ))
         return results
 
-    # -- stage 7: location --------------------------------------------------
-    def locate(self, events, pick_t, pick_sta, key=None):
+    # -- stage 7: location + QC ---------------------------------------------
+    def _residuals(self, ev, pick_t, pick_sta):
+        tt = np.asarray(self.trv(self.ctx.sta_cart,
+                                 jnp.asarray(ev.pos_cart[None], jnp.float32)))[0]
+        ph = ev.pick_phases.astype(np.int64)
+        pred = tt[pick_sta[ev.picks], ph]
+        return (pick_t[ev.picks] - ev.time) - pred
+
+    def locate(self, events, pick_t, pick_sta, key=None,
+               qc_resid_mult: float = 3.0, qc_resid_min: float = 1.5,
+               max_sigma_xy: float = 60e3, max_sigma_t: float = 15.0):
+        """Trimmed-DE location, then the reference's residual QC loop
+        (:1576-1960): delete picks with |residual| > max(qc_resid_mult·MAD-σ,
+        qc_resid_min), re-locate once if any deleted, then drop events whose
+        covariance exceeds (max_sigma_xy, max_sigma_t) (outlier removal,
+        :2097-2152)."""
         cfg = self.cfg
         key = key if key is not None else jax.random.PRNGKey(0)
         lo = np.concatenate((np.asarray(self.ctx.offset_cart), [-30.0])).astype(np.float32)
         hi = np.concatenate((np.asarray(self.ctx.offset_cart)
                              + np.asarray(self.ctx.scale_cart), [30.0])).astype(np.float32)
-        out = []
-        for i, ev in enumerate(events):
-            if len(ev.picks) < cfg.process.min_required_picks:
-                continue
-            if len(np.unique(pick_sta[ev.picks])) < cfg.process.min_required_sta:
-                continue
+
+        def run_locate(ev, k):
             tp = jnp.asarray((pick_t[ev.picks] - ev.time).astype(np.float32))
             ip = jnp.asarray(pick_sta[ev.picks].astype(np.int32))
             ph = jnp.asarray(ev.pick_phases.astype(np.float32)[:, None])
             mask = jnp.ones(len(ev.picks), bool)
             pos, t0, cost = locate_source(
-                jax.random.fold_in(key, i), self.trv, self.ctx.sta_cart,
-                tp, ip, ph, mask, lo, hi,
+                k, self.trv, self.ctx.sta_cart, tp, ip, ph, mask, lo, hi,
                 trim_fraction=cfg.process.trim_fraction)
             cov = location_uncertainty(self.trv, self.ctx.sta_cart, pos, t0,
                                        tp, ip, ph, mask)
             ev.pos_cart = np.asarray(pos)
             ev.time = ev.time + float(t0)
             ev.cov = np.asarray(cov)
+
+        out = []
+        for i, ev in enumerate(events):
+            if len(ev.picks) < cfg.process.min_required_picks:
+                continue
+            if len(np.unique(pick_sta[ev.picks])) < cfg.process.min_required_sta:
+                continue
+            run_locate(ev, jax.random.fold_in(key, i))
+            # residual-based pick deletion + one re-location pass
+            res = self._residuals(ev, pick_t, pick_sta)
+            sigma = 1.4826 * np.median(np.abs(res - np.median(res))) + 1e-6
+            keep = np.abs(res) <= max(qc_resid_mult * sigma, qc_resid_min)
+            if keep.sum() < len(keep):
+                ev.picks = ev.picks[keep]
+                ev.pick_phases = ev.pick_phases[keep]
+                if (len(ev.picks) < cfg.process.min_required_picks or
+                        len(np.unique(pick_sta[ev.picks])) < cfg.process.min_required_sta):
+                    continue
+                run_locate(ev, jax.random.fold_in(key, i + 7919))
+            # uncertainty-based outlier removal
+            if ev.cov is not None and np.all(np.isfinite(ev.cov)):
+                sig = np.sqrt(np.maximum(np.diag(ev.cov), 0.0))
+                if (sig[:2].max() > max_sigma_xy) or (sig[3] > max_sigma_t):
+                    continue
             out.append(ev)
         return out
 
+    def assign_magnitudes(self, events, pick_sta, pick_amp):
+        """Per-event magnitudes via the calibrated Magnitude model
+        (ref :2002-2031). ``mag_model`` is a dict {model, params, grid_cart}
+        from the calibration stage; no-op unless it and amplitudes exist."""
+        if self.mag is None or pick_amp is None:
+            return events
+        from genie_tpu.calibration.magnitude_scale import apply_magnitudes
+        return apply_magnitudes(events, self.mag["model"], self.mag["params"],
+                                np.asarray(self.ctx.sta_cart),
+                                self.mag["grid_cart"], pick_sta, pick_amp)
+
     # -- full day ----------------------------------------------------------
-    def process(self, pick_t, pick_sta, pick_phase, t_start, t_end, grid: int = 0):
-        t0s, sweep = self.detection_sweep(pick_t, pick_sta, pick_phase,
-                                          t_start, t_end, grid=grid)
-        cands, vals = self.extract_candidates(t0s, sweep)
+    def process(self, pick_t, pick_sta, pick_phase, t_start, t_end,
+                pick_amp=None, grids=None):
+        times_s, series = self.detection_sweep(pick_t, pick_sta, pick_phase,
+                                               t_start, t_end, grids=grids)
+        cands, vals = self.extract_candidates(times_s, series)
         srcs, svals = self.cluster_candidates(cands, vals)
+        if self.verbose:
+            print(f"[pipeline] {len(cands)} peaks -> {len(srcs)} clustered",
+                  flush=True)
         if len(srcs) == 0:
             return []
-        srcs, svals = self.refine_sources(
-            pick_t, pick_sta, pick_phase, srcs, svals, grid=grid,
-            n_rand=min(1024, self.cfg.process.n_rand_query))
+        srcs, svals = self.refine_sources(pick_t, pick_sta, pick_phase,
+                                          srcs, svals)
         # association windows are t_win-scale: process candidate sources in
         # disjoint time groups (ref break_win grouping, :851-890), further
         # chunked so each group spans ≤ t_win (the trained query-time range)
@@ -397,23 +522,35 @@ class InferencePipeline:
                         & (srcs[g, 3] <= span_end)]
                 events.extend(self.associate(
                     pick_t, pick_sta, pick_phase,
-                    np.concatenate((srcs[sub, :3], srcs[sub, 3:4]), axis=1),
-                    grid=grid))
+                    np.concatenate((srcs[sub, :3], srcs[sub, 3:4]), axis=1)))
                 start += len(sub)
+        if self.verbose:
+            print(f"[pipeline] {len(events)} associated", flush=True)
         located = self.locate(events, pick_t, pick_sta)
-        return self.dedup(located)
+        deduped = self.dedup(located)
+        return self.assign_magnitudes(deduped, pick_sta, pick_amp)
 
     def dedup(self, events):
         """Final duplicate merge — the reference's second LocalMarching pass
-        (:1075-1093): among located events close in space-time keep the one
-        with the most associated picks."""
+        (:1075-1093): among located events close in space-time keep local
+        maxima of associated-pick count."""
         if len(events) <= 1:
             return events
         cands = np.array([[*ev.pos_cart, ev.time] for ev in events])
         vals = np.array([len(ev.picks) for ev in events], float)
         keep = local_marching(cands, vals, tc_win=2 * self.cfg.process.tc_win,
                               sp_win=self.cfg.process.sp_win)
-        return [events[i] for i in keep]
+        # equal-value plateaus: local_marching keeps all members; collapse
+        # exact space-time duplicates to the first
+        out, seen = [], set()
+        for i in keep:
+            k = (round(float(cands[i, 0]) / 1e3), round(float(cands[i, 1]) / 1e3),
+                 round(float(cands[i, 3]) / self.cfg.process.tc_win))
+            if k in seen:
+                continue
+            seen.add(k)
+            out.append(events[i])
+        return out
 
 
 def self_check_featurization(ctx: DomainContext, trv_from_cart, kernel_sig_t,
@@ -425,13 +562,6 @@ def self_check_featurization(ctx: DomainContext, trv_from_cart, kernel_sig_t,
     n_src, n_sta = ctx.trv_grids.shape[1:3]
     src_ids = rng.choice(n_src, n_test, replace=False)
     trv = np.asarray(ctx.trv_grids[grid])
-    tp, ip, ph = [], [], []
-    for s in src_ids:
-        for st in range(n_sta):
-            tp.append(trv[s, st, 0]); ip.append(st); ph.append(0)
-            tp.append(trv[s, st, 1]); ip.append(st); ph.append(1)
-    # all events at window-relative origin time 0 — but that stacks n_test
-    # sources at once; instead check each source in its own window
     ok_hit, ok_miss = True, True
     for s in src_ids:
         tp = np.concatenate((trv[s, :, 0], trv[s, :, 1])).astype(np.float32)

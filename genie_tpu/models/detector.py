@@ -94,6 +94,10 @@ class Detector(nn.Module):
     # count-normalized bipartite read-in (conditioning aid for large
     # networks; see layers.BipartiteReadIn.normalize)
     normalize_readin: bool = False
+    # updated model definition: Gaussian-embedded relative-position edge
+    # features in both dual-relation convs (ref module.py:102-210,
+    # :1059-1072 — DataAggregationEdges variant)
+    use_updated_model_definition: bool = False
 
     @property
     def scale_t(self) -> float:
@@ -105,7 +109,9 @@ class Detector(nn.Module):
 
     def setup(self):
         in_ch = 4 + (6 if self.use_absolute_pos else 0)
-        self.data_agg = DataAggregation(in_channels=in_ch, out_channels=15, via_matmul=self.via_matmul)
+        self.data_agg = DataAggregation(
+            in_channels=in_ch, out_channels=15, via_matmul=self.via_matmul,
+            use_edges=self.use_updated_model_definition)
         self.read_in = BipartiteReadIn(30, 15, normalize=self.normalize_readin)
         self.spatial1 = SpatialAggregation(15, 30, scale_rel=self.scale_rel)
         self.spatial2 = SpatialAggregation(30, 30, scale_rel=self.scale_rel)
@@ -114,7 +120,9 @@ class Detector(nn.Module):
         self.spatial_attn = SpatialAttention(30, 30, n_latent=15, n_heads=5, scale_rel=self.scale_rel)
         self.temporal_attn = TemporalAttention(30, 1, n_latent=15, n_heads=5, scale_t=self.scale_t)
         self.read_out = BipartiteReadOut(30, 15)
-        self.assoc_agg = DataAggregationAssociationPhase(15, 15, via_matmul=self.via_matmul)
+        self.assoc_agg = DataAggregationAssociationPhase(
+            15, 15, via_matmul=self.via_matmul,
+            use_edges=self.use_updated_model_definition)
         self.slice_p = LocalSliceCollapse(30, 15, eps=self.eps, use_phase_types=self.use_phase_types)
         self.slice_s = LocalSliceCollapse(30, 15, eps=self.eps, use_phase_types=self.use_phase_types)
         self.arrivals = StationSourceAttention(
@@ -122,13 +130,27 @@ class Detector(nn.Module):
             use_phase_types=self.use_phase_types, src_chunk=self.src_chunk,
         )
 
+    def _rel_tables(self, graph: GraphBundle, sta_pos):
+        """Edge-feature tables for the updated model definition (the
+        reference precomputes pos_rel_sta/pos_rel_src per forward,
+        module.py:1059-1072)."""
+        if not self.use_updated_model_definition:
+            return None, None
+        from genie_tpu.models.layers import mean_rel_pos_embed
+        rel_sta = mean_rel_pos_embed(sta_pos, graph.sta_nbr, self.scale_rel,
+                                     graph.sta_nbr_valid)
+        rel_src = mean_rel_pos_embed(graph.src_pos, graph.src_nbr, self.scale_rel)
+        return rel_sta, rel_src
+
     def _detection_trunk(self, feat, mask, graph: GraphBundle, sta_pos):
         if self.use_absolute_pos:
             n_src, n_sta = feat.shape[:2]
             sta_b = jnp.broadcast_to(sta_pos[None], (n_src, n_sta, 3)) / (3.0 * self.scale_rel)
             src_b = jnp.broadcast_to(graph.src_pos[:, None], (n_src, n_sta, 3)) / (3.0 * self.scale_rel)
             feat = jnp.concatenate((feat, sta_b, src_b), axis=-1)
-        x_latent = self.data_agg(feat, mask, graph.sta_nbr, graph.sta_nbr_valid, graph.src_nbr)
+        rel_sta, rel_src = self._rel_tables(graph, sta_pos)
+        x_latent = self.data_agg(feat, mask, graph.sta_nbr, graph.sta_nbr_valid,
+                                 graph.src_nbr, rel_sta, rel_src)
         x = self.read_in(x_latent, graph.edge_feat, mask, graph.sta_mask)
         x = self.spatial1(x, graph.src_nbr, graph.src_pos)
         x = self.spatial2(x, graph.src_nbr, graph.src_pos)
@@ -154,8 +176,10 @@ class Detector(nn.Module):
             sta_b = jnp.broadcast_to(sta_pos[None], (n_src, n_sta, 3)) / (3.0 * self.scale_rel)
             src_b = jnp.broadcast_to(graph.src_pos[:, None], (n_src, n_sta, 3)) / (3.0 * self.scale_rel)
             s = jnp.concatenate((s, sta_b, src_b), axis=-1)
+        rel_sta, rel_src = self._rel_tables(graph, sta_pos)
         s = self.assoc_agg(s, jax.lax.stop_gradient(x_latent), mask_out_prod, mask,
-                           graph.sta_nbr, graph.sta_nbr_valid, graph.src_nbr)
+                           graph.sta_nbr, graph.sta_nbr_valid, graph.src_nbr,
+                           rel_sta, rel_src)
         arv_p = self.slice_p(graph.time_ptr_p, graph.dt0, graph.dt, picks.tpick, picks.ipick,
                              picks.phase, s, graph.trv[:, :, 0], picks.mask)
         arv_s = self.slice_s(graph.time_ptr_s, graph.dt0, graph.dt, picks.tpick, picks.ipick,

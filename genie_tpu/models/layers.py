@@ -37,9 +37,41 @@ class PReLU(nn.Module):
         return jnp.maximum(x, 0.0) + a * jnp.minimum(x, 0.0)
 
 
+def mean_rel_pos_embed(pos, nbr, scale_rel, valid=None):
+    """Per-receiver mean of Gaussian-embedded relative sender positions —
+    the edge features of the reference's updated model definition
+    (``DataAggregationEdges``, module.py:102-210; embedding precomputed in
+    the model forward, :1059-1072: ``sign(Δ)·exp(−Δ²/2σ²)`` of
+    (Δxyz, ‖Δ‖) with σ = scale_rel, Δ in meters).
+
+    TPU-native reduction: the reference concatenates the 4-dim edge feature
+    to every message then MEAN-aggregates; since the post-aggregation
+    transform is linear and the edge feature is sender-independent,
+    ``mean(concat(x_j, e_ij)) == concat(mean(x_j), mean(e_ij))`` — so the
+    per-edge features collapse exactly to this per-receiver (n, 4) table
+    and the dense matmul layout is preserved.
+
+    pos: (n, 3); nbr: (n, k) sender index per receiver; valid: (n, k) bool.
+    Returns (n, 4).
+    """
+    rel = pos[nbr] - pos[:, None, :]                      # x_j − x_i, (n,k,3)
+    nrm = jnp.sqrt((rel ** 2).sum(-1, keepdims=True) + 1e-12)
+    rel = jnp.concatenate((rel, nrm), axis=-1)            # (n, k, 4)
+    emb = jnp.sign(rel) * jnp.exp(-0.5 * rel ** 2 / scale_rel ** 2)
+    if valid is not None:
+        emb = ((emb * valid[..., None]).sum(1)
+               / jnp.maximum(valid.sum(1, keepdims=True), 1))
+    else:
+        emb = emb.mean(axis=1)
+    return emb
+
+
 class DataAggregation(nn.Module):
     """Two rounds of dual-relation SAGE-style conv on the station×source
-    product graph. Ref: module.py:52-98 (DataAggregation).
+    product graph. Ref: module.py:52-98 (DataAggregation); with
+    ``use_edges`` the updated-definition variant ``DataAggregationEdges``
+    (module.py:102-210) whose messages carry Gaussian-embedded relative
+    positions (see :func:`mean_rel_pos_embed` for the exact dense reduction).
 
     Input  (n_src, n_sta, in_ch) features + (n_src, n_sta, n_mask) mask.
     Output (n_src, n_sta, 2*out_ch) — concat of station-relation and
@@ -51,28 +83,41 @@ class DataAggregation(nn.Module):
     n_hidden: int = 30
     n_mask: int = 4
     via_matmul: bool = False
+    use_edges: bool = False
 
     @nn.compact
-    def __call__(self, tr, mask, sta_nbr, sta_nbr_valid, src_nbr):
+    def __call__(self, tr, mask, sta_nbr, sta_nbr_valid, src_nbr,
+                 rel_sta=None, rel_src=None):
         h = self.n_hidden
         act = PReLU()
         act11, act12, act1 = PReLU(), PReLU(), PReLU()
         act21, act22, act2 = PReLU(), PReLU(), PReLU()
+
+        if self.use_edges:
+            n_src, n_sta = tr.shape[:2]
+            e_sta = jnp.broadcast_to(rel_sta[None], (n_src, n_sta, 4))
+            e_src = jnp.broadcast_to(rel_src[:, None], (n_src, n_sta, 4))
+
+        def cat_sta(a):
+            return jnp.concatenate((a, e_sta), -1) if self.use_edges else a
+
+        def cat_src(a):
+            return jnp.concatenate((a, e_src), -1) if self.use_edges else a
 
         tr = jnp.concatenate((tr, mask), axis=-1)
         tr = act(nn.Dense(h, name="init_trns")(tr))
 
         # Round 1 (the reference feeds act(tr) directly to propagate here;
         # its l1_*_1 linears exist but are unused — behaviour preserved)
-        agg_sta = mean_sta_axis(act11(tr), sta_nbr, sta_nbr_valid, self.via_matmul)
-        agg_src = mean_src_axis(act12(tr), src_nbr, via_matmul=self.via_matmul)
+        agg_sta = cat_sta(mean_sta_axis(act11(tr), sta_nbr, sta_nbr_valid, self.via_matmul))
+        agg_src = cat_src(mean_src_axis(act12(tr), src_nbr, via_matmul=self.via_matmul))
         tr1 = nn.Dense(h, name="l1_t1_2")(jnp.concatenate((tr, agg_sta, mask), -1))
         tr2 = nn.Dense(h, name="l1_t2_2")(jnp.concatenate((tr, agg_src, mask), -1))
         tr = act1(jnp.concatenate((tr1, tr2), axis=-1))
 
         # Round 2
-        agg_sta = mean_sta_axis(act21(nn.Dense(h, name="l2_t1_1")(tr)), sta_nbr, sta_nbr_valid, self.via_matmul)
-        agg_src = mean_src_axis(act22(nn.Dense(h, name="l2_t2_1")(tr)), src_nbr, via_matmul=self.via_matmul)
+        agg_sta = cat_sta(mean_sta_axis(act21(nn.Dense(h, name="l2_t1_1")(tr)), sta_nbr, sta_nbr_valid, self.via_matmul))
+        agg_src = cat_src(mean_src_axis(act22(nn.Dense(h, name="l2_t2_1")(tr)), src_nbr, via_matmul=self.via_matmul))
         tr1 = nn.Dense(self.out_channels, name="l2_t1_2")(jnp.concatenate((tr, agg_sta, mask), -1))
         tr2 = nn.Dense(self.out_channels, name="l2_t2_2")(jnp.concatenate((tr, agg_src, mask), -1))
         return act2(jnp.concatenate((tr1, tr2), axis=-1))
@@ -216,33 +261,49 @@ class BipartiteReadOut(nn.Module):
 class DataAggregationAssociationPhase(nn.Module):
     """Second dual-relation conv for the association stage. Ref:
     module.py:356-403. Same structure as DataAggregation but the first-round
-    propagate inputs pass through their linears (l1_*_1 used here)."""
+    propagate inputs pass through their linears (l1_*_1 used here).
+    ``use_edges`` adds the updated-definition relative-position edge
+    features (module.py:1069-1072 assigns the same embedded tables to this
+    layer; dense reduction in :func:`mean_rel_pos_embed`)."""
 
     in_channels: int = 15
     out_channels: int = 15
     n_hidden: int = 30
     n_latent: int = 30
     via_matmul: bool = False
+    use_edges: bool = False
 
     @nn.compact
-    def __call__(self, tr, latent, mask1, mask2, sta_nbr, sta_nbr_valid, src_nbr):
+    def __call__(self, tr, latent, mask1, mask2, sta_nbr, sta_nbr_valid,
+                 src_nbr, rel_sta=None, rel_src=None):
         h = self.n_hidden
         act = PReLU()
         act11, act12, act1 = PReLU(), PReLU(), PReLU()
         act21, act22, act2 = PReLU(), PReLU(), PReLU()
 
+        if self.use_edges:
+            n_src, n_sta = tr.shape[:2]
+            e_sta = jnp.broadcast_to(rel_sta[None], (n_src, n_sta, 4))
+            e_src = jnp.broadcast_to(rel_src[:, None], (n_src, n_sta, 4))
+
+        def cat_sta(a):
+            return jnp.concatenate((a, e_sta), -1) if self.use_edges else a
+
+        def cat_src(a):
+            return jnp.concatenate((a, e_src), -1) if self.use_edges else a
+
         mask = jnp.concatenate((mask1, mask2), axis=-1)
         tr = jnp.concatenate((tr, latent, mask), axis=-1)
         tr = act(nn.Dense(h, name="init_trns")(tr))
 
-        agg_sta = mean_sta_axis(act11(nn.Dense(h, name="l1_t1_1")(tr)), sta_nbr, sta_nbr_valid, self.via_matmul)
-        agg_src = mean_src_axis(act12(nn.Dense(h, name="l1_t2_1")(tr)), src_nbr, via_matmul=self.via_matmul)
+        agg_sta = cat_sta(mean_sta_axis(act11(nn.Dense(h, name="l1_t1_1")(tr)), sta_nbr, sta_nbr_valid, self.via_matmul))
+        agg_src = cat_src(mean_src_axis(act12(nn.Dense(h, name="l1_t2_1")(tr)), src_nbr, via_matmul=self.via_matmul))
         tr1 = nn.Dense(h, name="l1_t1_2")(jnp.concatenate((tr, agg_sta, mask), -1))
         tr2 = nn.Dense(h, name="l1_t2_2")(jnp.concatenate((tr, agg_src, mask), -1))
         tr = act1(jnp.concatenate((tr1, tr2), axis=-1))
 
-        agg_sta = mean_sta_axis(act21(nn.Dense(h, name="l2_t1_1")(tr)), sta_nbr, sta_nbr_valid, self.via_matmul)
-        agg_src = mean_src_axis(act22(nn.Dense(h, name="l2_t2_1")(tr)), src_nbr, via_matmul=self.via_matmul)
+        agg_sta = cat_sta(mean_sta_axis(act21(nn.Dense(h, name="l2_t1_1")(tr)), sta_nbr, sta_nbr_valid, self.via_matmul))
+        agg_src = cat_src(mean_src_axis(act22(nn.Dense(h, name="l2_t2_1")(tr)), src_nbr, via_matmul=self.via_matmul))
         tr1 = nn.Dense(self.out_channels, name="l2_t1_2")(jnp.concatenate((tr, agg_sta, mask), -1))
         tr2 = nn.Dense(self.out_channels, name="l2_t2_2")(jnp.concatenate((tr, agg_src, mask), -1))
         return act2(jnp.concatenate((tr1, tr2), axis=-1))

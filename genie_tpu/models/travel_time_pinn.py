@@ -233,6 +233,46 @@ def train_pinn(key, model: TravelTimesPN, scales: ScaleParams, sample_fn,
     return params
 
 
+def importance_sample_volume(rng, Tp, Ts, origin, h, sta_cart_j, n,
+                             mix=(0.3, 0.2, 0.2, 0.3), t_floor: float = 2.0,
+                             near_sigma: float = 25e3):
+    """Importance-sampled (src_cart, t_ps) training tuples from one station's
+    FMM volume — the reference's sampling mixture for the PINN
+    (calculate_travel_times_3D_train_model.py:414-551): uniform, 1/t, 1/t²
+    (both emphasizing the steep near-field), and a near-station Gaussian ball
+    (boundary-weighted). Uniform grid sampling alone under-fits near-station
+    gradients — exactly where the σ_t-scale featurization lives.
+
+    Returns ``(src_cart (n,3) f32, t (n,2) f32)``.
+    """
+    shape = np.asarray(Tp.shape)
+    N = int(Tp.size)
+    flat_tp = np.asarray(Tp, np.float32).reshape(-1)
+    n_u = int(mix[0] * n)
+    n_1 = int(mix[1] * n)
+    n_2 = int(mix[2] * n)
+    n_b = n - n_u - n_1 - n_2
+
+    idx = [rng.integers(0, N, n_u)]
+    w = 1.0 / np.maximum(flat_tp, t_floor)
+    for power, count in ((1, n_1), (2, n_2)):
+        cdf = np.cumsum(w if power == 1 else w * w)
+        cdf /= cdf[-1]
+        idx.append(np.searchsorted(cdf, rng.random(count)))
+    # near-station Gaussian in index space (clipped to the volume)
+    ctr = (np.asarray(sta_cart_j) - np.asarray(origin)) / h
+    ijk = np.clip(np.round(ctr + rng.normal(0, near_sigma / h, (n_b, 3))),
+                  0, shape - 1).astype(np.int64)
+    idx.append(np.ravel_multi_index(
+        (ijk[:, 0], ijk[:, 1], ijk[:, 2]), tuple(shape)))
+    idx = np.concatenate(idx)
+    iii = np.stack(np.unravel_index(idx, tuple(shape)), axis=1)
+    src = (np.asarray(origin) + iii * h).astype(np.float32)
+    t = np.stack((flat_tp[idx], np.asarray(Ts, np.float32).reshape(-1)[idx]),
+                 axis=1)
+    return src, t
+
+
 def velocity_r2(model: TravelTimesPN, params, scales: ScaleParams, src_n,
                 v_true_phys):
     """R² of the recovered velocity field vs truth — the reference's

@@ -127,3 +127,111 @@ def load_project(root, name: str):
         "region": {k: rg[k] for k in rg.files},
         "grids_lla": gr["x_grids"],
     }
+
+
+def parse_hypodd_catalog(path, sta_names):
+    """Parse a HypoDD-format ``catalog.txt`` (ref make_initial_files.py:163-283).
+
+    Source lines start with ``#``:
+        # yr mo dy hr mn sec lat lon depth_km mag eh_km ez_km [rms id]
+    followed by pick lines:
+        sta_name  travel_time_s  prob  P|S
+
+    Returns a list of dicts per source: ``{"date": (y, m, d), "tod": s,
+    "lla": (lat, lon, depth_m), "mag": m, "sigma_m": mean(eh, ez) in metres,
+    "picks": (n, 4) array of (time_of_day_s, sta_idx, prob, phase)}``.
+    Picks whose station is not in ``sta_names`` raise (the reference asserts
+    a match with the initial stations file).
+    """
+    from datetime import datetime, timedelta
+
+    name_to_idx = {str(n): i for i, n in enumerate(np.asarray(sta_names))}
+    events, cur = [], None
+    for line in Path(path).read_text().splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "#":
+            if len(parts) < 13:
+                continue
+            yr, mo, dy, hr, mi = (int(p) for p in parts[1:6])
+            t = datetime(yr, mo, dy, hr, mi) + timedelta(seconds=float(parts[6]))
+            tod = (t - datetime(t.year, t.month, t.day)).total_seconds()
+            cur = {"date": (t.year, t.month, t.day), "tod": tod,
+                   "lla": (float(parts[7]), float(parts[8]),
+                           -1000.0 * float(parts[9])),
+                   "mag": float(parts[10]),
+                   "sigma_m": 500.0 * (float(parts[11]) + float(parts[12])),
+                   "picks": []}
+            events.append(cur)
+        else:
+            if cur is None:
+                raise ValueError("pick line before any source line")
+            name, tt, prob, phase = parts[0], float(parts[1]), float(parts[2]), parts[3]
+            if name not in name_to_idx:
+                raise ValueError(f"pick station {name!r} not in stations file")
+            if phase not in ("P", "S"):
+                raise ValueError(f"phase must be P or S, got {phase!r}")
+            cur["picks"].append((cur["tod"] + tt, name_to_idx[name], prob,
+                                 0.0 if phase == "P" else 1.0))
+    for ev in events:
+        ev["picks"] = (np.asarray(ev["picks"], np.float64).reshape(-1, 4)
+                       if ev["picks"] else np.zeros((0, 4)))
+    return events
+
+
+def convert_hypodd_catalog(path, dirs, cfg: Config, sta_names, projection,
+                           amp_match_tol: float = 1.0):
+    """HypoDD ``catalog.txt`` → per-day ``Catalog/`` hdf5 files
+    (ref make_initial_files.py:163-283).
+
+    Events are grouped by calendar day; each day file stores the event
+    hypocentres (Cartesian, via ``projection``), origin times-of-day,
+    magnitudes, location uncertainty, and per-event pick lists indexing the
+    day's concatenated pick arrays. If a converted ``Picks/`` npz exists for
+    the day, pick amplitudes are matched within ``amp_match_tol`` seconds at
+    the same station (ref :224-243 match_pick_amplitudes).
+
+    Returns the sorted list of day keys written.
+    """
+    from genie_tpu.infer.pipeline import CatalogEvent
+    from genie_tpu.io import load_picks, save_catalog
+
+    events = parse_hypodd_catalog(path, sta_names)
+    by_day: dict[tuple, list] = {}
+    for ev in events:
+        by_day.setdefault(ev["date"], []).append(ev)
+
+    days = []
+    for (y, m, d), evs in sorted(by_day.items()):
+        # day pick arrays = concatenation of the events' picks
+        pick_rows = np.concatenate([ev["picks"] for ev in evs], axis=0)
+        offs = np.cumsum([0] + [len(ev["picks"]) for ev in evs])
+        amps = np.zeros(len(pick_rows))
+        pick_file = (dirs["picks"] / str(y) /
+                     f"{cfg.region.name}_{y}_{m}_{d}_ver_1.npz")
+        if pick_file.exists() and len(pick_rows):
+            pt, ps, _, pa = load_picks(pick_file)
+            for i, (t, s, _, _) in enumerate(pick_rows):
+                same = np.where(ps == int(s))[0]
+                if len(same):
+                    j = same[np.argmin(np.abs(pt[same] - t))]
+                    if abs(pt[j] - t) <= amp_match_tol:
+                        amps[i] = pa[j]
+        cat_events = []
+        for k, ev in enumerate(evs):
+            pos = np.asarray(projection.to_cart_np(
+                np.asarray(ev["lla"], np.float64)[None]))[0]
+            cat_events.append(CatalogEvent(
+                pos_cart=pos.astype(np.float32), time=float(ev["tod"]),
+                picks=np.arange(offs[k], offs[k + 1]),
+                pick_phases=ev["picks"][:, 3].astype(np.int64),
+                mag=ev["mag"]))
+        out = (dirs["catalog"] / str(y) /
+               f"{cfg.region.name}_results_continuous_days_{y}_{m}_{d}_ver_1.hdf5")
+        save_catalog(out, cat_events, pick_t=pick_rows[:, 0],
+                     pick_sta=pick_rows[:, 1].astype(np.int64),
+                     extra={"sigma_m": np.asarray([ev["sigma_m"] for ev in evs]),
+                            "amp": amps})
+        days.append(f"{y}-{m}-{d}")
+    return days

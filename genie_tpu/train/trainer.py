@@ -51,10 +51,13 @@ class DomainContext(NamedTuple):
     src_nbr: jnp.ndarray       # (n_grids, n_src, k_spc)
     scale_cart: jnp.ndarray    # (3,) cart sampling box scale
     offset_cart: jnp.ndarray   # (3,) cart sampling box offset
+    # observed per-day station sets (n_subnet, n_sta) bool, or None: sampled
+    # as training subsets with prob 1/2 (ref fixed_subnetworks, :910-935)
+    subnetworks: Any = None
 
 
 def build_domain_context(cfg: Config, sta_lla, sta_cart, grids_lla, grids_cart,
-                         trv_grids) -> DomainContext:
+                         trv_grids, subnetworks=None) -> DomainContext:
     """Precompute grid-dependent tables (kNN graphs, time pointers, bipartite
     edge features) once per project."""
     n_grids = grids_cart.shape[0]
@@ -81,6 +84,8 @@ def build_domain_context(cfg: Config, sta_lla, sta_cart, grids_lla, grids_cart,
         dt0=dt0, dt=dt, edge_feat=jnp.stack(efeats), src_nbr=jnp.stack(src_nbrs),
         scale_cart=jnp.asarray(cart_max - cart_min, jnp.float32),
         offset_cart=jnp.asarray(cart_min, jnp.float32),
+        subnetworks=(None if subnetworks is None
+                     else jnp.asarray(subnetworks, bool)),
     )
 
 
@@ -176,7 +181,7 @@ def generate_batch(key, cfg: Config, ctx: DomainContext, trv_from_cart) -> Windo
     return make_windows(
         k2, cfg.synth, cfg.train, cfg.graph, tl, ctx.sta_cart,
         ctx.grids_cart, ctx.trv_grids, ctx.scale_cart, ctx.offset_cart,
-        t_win=cfg.model.t_win,
+        t_win=cfg.model.t_win, subnetworks=ctx.subnetworks,
     )
 
 

@@ -24,19 +24,92 @@ from genie_tpu.train.trainer import (
 from genie_tpu.utils import compute_travel_times_chunked
 
 
-def build_fmm_tables(cfg: Config, proj: Projection, sta_lla, out_dir,
-                     station_indices=None, verbose=True):
-    """Per-station FMM travel-time volumes over the padded region
-    (calculate_travel_times_3D_build_data.py). Job-shardable by
-    ``station_indices`` (the reference's argv job arrays). Saves
-    ``{out_dir}/travel_time_grid_station_{j}.npz``."""
-    from genie_tpu.native.fmm import fast_march
+def build_velocity_volume(cfg: Config, proj: Projection, lo, shape, h,
+                          vel_model=None, surface_lla=None,
+                          air_velocity: float = 343.0):
+    """(Vp, Vs) volumes on the FMM grid, supporting the reference's three
+    velocity-model types (calculate_travel_times_3D_build_data.py:240-302)
+    plus topography air-masking (:305-347):
 
-    scale, offset = cfg.region.scale_offset(extend=True)
+    ``vel_model`` is None (1-D profile from ``cfg.velocity``) or a dict:
+      * ``{"type": "1d", "depths", "vp", "vs"}`` — depth profile;
+      * ``{"type": "3d", "points_lla" (n,3), "vp" (n,), "vs" (n,)}`` —
+        scattered 3-D model, nearest-neighbor assigned (ref type 2);
+      * ``{"type": "profiles", "profiles": [{"coor" (lat, lon),
+        "radius_km", "depths", "vp", "vs"}, ...]}`` — a set of regional 1-D
+        profiles, each grid cell taking the profile whose (radius-normalized)
+        horizontal distance is smallest (ref type 3).
+
+    ``surface_lla``: (n, 3) lat/lon/elevation(m) points; grid cells above the
+    (nearest-neighbor) surface get acoustic ``air_velocity`` — the
+    reference's topography clipping. Station/region points outside the data
+    are treated as sea level by passing a sparse surface.
+    """
+    from scipy.spatial import cKDTree
+
+    shape = tuple(int(s) for s in shape)
+    zs = lo[2] + np.arange(shape[2]) * h
+
+    if vel_model is None or vel_model.get("type", "1d") == "1d":
+        vm = vel_model or {}
+        depths = np.asarray(vm.get("depths", cfg.velocity.depths), float)
+        vp_p = np.asarray(vm.get("vp", cfg.velocity.vp), float)
+        vs_p = np.asarray(vm.get("vs", cfg.velocity.vs), float)
+        order = np.argsort(depths)
+        vp = np.interp(zs, depths[order], vp_p[order]).astype(np.float32)
+        vs = np.interp(zs, depths[order], vs_p[order]).astype(np.float32)
+        vol_p = np.broadcast_to(vp[None, None, :], shape).copy()
+        vol_s = np.broadcast_to(vs[None, None, :], shape).copy()
+    else:
+        ax = [lo[i] + np.arange(shape[i]) * h for i in range(3)]
+        xx = np.stack(np.meshgrid(*ax, indexing="ij"), axis=-1).reshape(-1, 3)
+        if vel_model["type"] == "3d":
+            pts = np.asarray(proj.to_cart_np(
+                np.asarray(vel_model["points_lla"], np.float64)))
+            j = cKDTree(pts).query(xx)[1]
+            vol_p = np.asarray(vel_model["vp"], np.float32)[j].reshape(shape)
+            vol_s = np.asarray(vel_model["vs"], np.float32)[j].reshape(shape)
+        elif vel_model["type"] == "profiles":
+            best = np.full(len(xx), np.inf)
+            vol_p = np.zeros(len(xx), np.float32)
+            vol_s = np.zeros(len(xx), np.float32)
+            for prof in vel_model["profiles"]:
+                la, lon = prof["coor"]
+                c = np.asarray(proj.to_cart_np(
+                    np.array([[la, lon, 0.0]], np.float64)))[0]
+                d = (np.linalg.norm(xx[:, :2] - c[None, :2], axis=1)
+                     / (float(prof["radius_km"]) * 1e3))
+                sel = d < best
+                best[sel] = d[sel]
+                order = np.argsort(np.asarray(prof["depths"], float))
+                dd = np.asarray(prof["depths"], float)[order]
+                vol_p[sel] = np.interp(xx[sel, 2], dd,
+                                       np.asarray(prof["vp"], float)[order])
+                vol_s[sel] = np.interp(xx[sel, 2], dd,
+                                       np.asarray(prof["vs"], float)[order])
+            vol_p = vol_p.reshape(shape)
+            vol_s = vol_s.reshape(shape)
+        else:
+            raise ValueError(f"unknown vel_model type {vel_model['type']!r}")
+
+    if surface_lla is not None:
+        surf = np.asarray(surface_lla, np.float64)
+        surf_cart = np.asarray(proj.to_cart_np(
+            np.concatenate((surf[:, :2], np.zeros((len(surf), 1))), axis=1)))
+        ax01 = [lo[i] + np.arange(shape[i]) * h for i in range(2)]
+        gx, gy = np.meshgrid(*ax01, indexing="ij")
+        grid_xy = np.stack((gx.ravel(), gy.ravel()), axis=-1)
+        j = cKDTree(surf_cart[:, :2]).query(grid_xy)[1]
+        elev = surf[j, 2].reshape(shape[0], shape[1])
+        air = zs[None, None, :] > elev[:, :, None]
+        vol_p = np.where(air, np.float32(air_velocity), vol_p)
+        vol_s = np.where(air, np.float32(air_velocity), vol_s)
+    return vol_p, vol_s
+
+
+def fmm_grid_box(cfg: Config, proj: Projection):
+    """(lo, shape, h): Cartesian box covering the padded region."""
     h = cfg.travel_time.dx
-    sta_cart = np.asarray(proj.to_cart_np(sta_lla), np.float32)
-    lo = sta_cart.min(axis=0)
-    # Cartesian box covering the padded region (approximate via corners)
     corners = []
     for la in cfg.region.lat_range_extend:
         for lo_ in cfg.region.lon_range_extend:
@@ -46,13 +119,25 @@ def build_fmm_tables(cfg: Config, proj: Projection, sta_lla, out_dir,
     lo = cc.min(axis=0) - 2 * h
     hi = cc.max(axis=0) + 2 * h
     shape = tuple(int(np.ceil((hi[i] - lo[i]) / h)) + 1 for i in range(3))
+    return lo, shape, h
 
-    depths = np.asarray(cfg.velocity.depths, float)
-    zs = lo[2] + np.arange(shape[2]) * h
-    vp = np.interp(zs, depths, cfg.velocity.vp).astype(np.float32)
-    vs = np.interp(zs, depths, cfg.velocity.vs).astype(np.float32)
-    vol_p = np.broadcast_to(vp[None, None, :], shape).copy()
-    vol_s = np.broadcast_to(vs[None, None, :], shape).copy()
+
+def build_fmm_tables(cfg: Config, proj: Projection, sta_lla, out_dir,
+                     station_indices=None, verbose=True, vel_model=None,
+                     surface_lla=None):
+    """Per-station FMM travel-time volumes over the padded region
+    (calculate_travel_times_3D_build_data.py). Job-shardable by
+    ``station_indices`` (the reference's argv job arrays). Saves
+    ``{out_dir}/travel_time_grid_station_{j}.npz``. ``vel_model`` /
+    ``surface_lla`` select 3-D or multi-profile velocities and topography
+    masking (see :func:`build_velocity_volume`)."""
+    from genie_tpu.native.fmm import fast_march
+
+    sta_cart = np.asarray(proj.to_cart_np(sta_lla), np.float32)
+    lo, shape, h = fmm_grid_box(cfg, proj)
+    vol_p, vol_s = build_velocity_volume(cfg, proj, lo, shape, h,
+                                         vel_model=vel_model,
+                                         surface_lla=surface_lla)
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -131,7 +216,8 @@ def train(cfg: Config, ctx: DomainContext, trv, out_dir, n_steps=None,
     model = Detector(scale_rel=cfg.model.scale_rel,
                      kernel_sig_t=cfg.model.kernel_sig_t,
                      use_phase_types=cfg.model.use_phase_types,
-                     use_absolute_pos=cfg.model.use_absolute_pos)
+                     use_absolute_pos=cfg.model.use_absolute_pos,
+                     use_updated_model_definition=cfg.model.use_updated_model_definition)
     key = jax.random.PRNGKey(seed)
     state = init_train_state(model, cfg, ctx, trv.from_cart, key)
     if restart:

@@ -19,11 +19,14 @@ def main():
     ap.add_argument("--config", default=None)
     ap.add_argument("--stations", default=None, help="stations.txt path")
     ap.add_argument("--picks", default=None, help="picks.txt to convert")
+    ap.add_argument("--catalog", default=None,
+                    help="HypoDD-format catalog.txt to convert")
     ap.add_argument("--grid-steps", type=int, default=800)
     args = ap.parse_args()
 
     from genie_tpu.config import load_config
-    from genie_tpu.setup.project import convert_picks_txt, init_project
+    from genie_tpu.setup.project import (convert_hypodd_catalog,
+                                         convert_picks_txt, init_project)
 
     cfg = load_config(args.config)
     dirs, proj, grids = init_project(args.root, cfg,
@@ -37,6 +40,12 @@ def main():
                      allow_pickle=True)
         days = convert_picks_txt(args.picks, dirs, cfg, st["stas"])
         print(f"converted picks for {len(days)} days")
+    if args.catalog:
+        import numpy as np
+        st = np.load(dirs["root"] / f"{cfg.region.name}_stations.npz",
+                     allow_pickle=True)
+        days = convert_hypodd_catalog(args.catalog, dirs, cfg, st["stas"], proj)
+        print(f"converted catalog for {len(days)} days")
 
 
 if __name__ == "__main__":

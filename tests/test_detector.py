@@ -156,3 +156,62 @@ def test_via_matmul_matches_gather_path():
     o2 = m2.apply(params, feat, mask, graph, sta_pos, picks, queries)
     for a, b in zip(o1, o2):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_mean_rel_pos_embed_matches_explicit_edge_mean():
+    """The dense per-receiver table must equal the explicit per-edge
+    mean of sign(Δ)·exp(−Δ²/2σ²) over (Δxyz, ‖Δ‖) — the exact reduction of
+    the reference's DataAggregationEdges message (module.py:1059-1072)."""
+    from genie_tpu.models.layers import mean_rel_pos_embed
+
+    rng = np.random.default_rng(3)
+    n, k, sig = 9, 4, 30e3
+    pos = rng.uniform(-50e3, 50e3, (n, 3)).astype(np.float32)
+    nbr = rng.integers(0, n, (n, k))
+    valid = rng.random((n, k)) > 0.3
+    valid[:, 0] = True
+    got = np.asarray(mean_rel_pos_embed(
+        jnp.asarray(pos), jnp.asarray(nbr), sig, jnp.asarray(valid)))
+    for i in range(n):
+        embs = []
+        for kk in range(k):
+            if not valid[i, kk]:
+                continue
+            rel = pos[nbr[i, kk]] - pos[i]
+            rel4 = np.concatenate((rel, [np.linalg.norm(rel) + 1e-12 * 0]))
+            rel4[3] = np.sqrt((rel**2).sum() + 1e-12)
+            embs.append(np.sign(rel4) * np.exp(-0.5 * rel4**2 / sig**2))
+        np.testing.assert_allclose(got[i], np.mean(embs, axis=0), rtol=2e-5,
+                                   atol=2e-6)
+
+
+def test_updated_model_definition_switches_architecture():
+    """use_updated_model_definition must actually change the parameter
+    structure (widened conv linears) and produce a trainable forward."""
+    feat, mask, graph, sta_pos, picks, queries = make_tiny_scene(seed=5)
+    base = Detector(src_chunk=4)
+    edges = Detector(src_chunk=4, use_updated_model_definition=True)
+    p0 = base.init(jax.random.PRNGKey(0), feat, mask, graph, sta_pos, picks, queries)
+    p1 = edges.init(jax.random.PRNGKey(0), feat, mask, graph, sta_pos, picks, queries)
+
+    def width(p, path):
+        d = p["params"]
+        for k in path:
+            d = d[k]
+        return d["kernel"].shape[0]
+
+    w0 = width(p0, ("data_agg", "l1_t1_2"))
+    w1 = width(p1, ("data_agg", "l1_t1_2"))
+    assert w1 == w0 + 4  # Gaussian-embedded (Δxyz, ‖Δ‖) widens the input
+
+    y, x, ap, as_ = jax.jit(edges.apply)(p1, feat, mask, graph, sta_pos,
+                                         picks, queries)
+    assert np.isfinite(np.asarray(y)).all() and np.isfinite(np.asarray(x)).all()
+
+    def loss(p):
+        y, x, ap, as_ = edges.apply(p, feat, mask, graph, sta_pos, picks, queries)
+        return (y**2).mean() + (x**2).mean() + (ap**2).mean() + (as_**2).mean()
+
+    g = jax.jit(jax.grad(loss))(p1)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))

@@ -48,6 +48,24 @@ def test_local_marching_merges_cluster():
     assert abs(kept_t[0] - 100.0) < 5 and abs(kept_t[1] - 160.0) < 5
 
 
+def test_local_marching_keeps_chained_local_maxima():
+    """A transitive chain A-B-C-D-E (each within the ε-ball of the next only)
+    with two local maxima B and D must keep BOTH — the reference's directed
+    max-flooding keeps every local max, not one per connected component
+    (process_utils.py:70-100)."""
+    # positions identical; times 0,4,8,12,16 with tc_win=5 → only adjacent
+    # candidates are neighbours, but the chain is one connected component
+    cands = np.array([[0.0, 0.0, 0.0, 4.0 * i] for i in range(5)])
+    vals = np.array([0.5, 0.9, 0.4, 0.8, 0.3])
+    keep = local_marching(cands, vals, tc_win=5.0, sp_win=15e3)
+    assert sorted(keep.tolist()) == [1, 3]
+
+
+def test_local_marching_single_and_empty():
+    assert local_marching(np.zeros((0, 4)), np.zeros(0)).size == 0
+    assert local_marching(np.zeros((1, 4)), np.ones(1)).tolist() == [0]
+
+
 def test_competitive_assignment_two_sources():
     # 2 sources, 3 stations; each station has a P pick for each source
     n_arv, n_src = 6, 2
@@ -134,3 +152,62 @@ def test_locate_source_recovers_planted_event():
     cov = location_uncertainty(tt.from_cart, jnp.asarray(sta), pos, t0,
                                tpick, ipick, phase, mask)
     assert np.all(np.isfinite(np.asarray(cov)))
+
+
+def _brute_force_assignment_obj(weights, ipick, cost, min_weight=0.0):
+    """Enumerate every activation subset; exact optimum of the activation +
+    assignment objective (feasible only for tiny n_src)."""
+    import itertools
+
+    from genie_tpu.infer.assign import _effective
+
+    n_src = weights.shape[1]
+    best = 0.0
+    for bits in itertools.product([0, 1], repeat=n_src):
+        act = np.array(bits, bool)
+        obj, _, _ = _effective(weights, ipick, act, cost, min_weight)
+        best = max(best, obj)
+    return best
+
+
+def test_competitive_assignment_matches_brute_force_randomized():
+    """competitive_assignment is exact on random instances at pipeline
+    component sizes (n_src ≤ exact_max_sources): 120 seeds vs full subset
+    enumeration (VERDICT round-1 hardening item)."""
+    rng = np.random.default_rng(0)
+    for _ in range(120):
+        n_src = int(rng.integers(1, 7))
+        n_sta = int(rng.integers(1, 5))
+        n_arv = int(rng.integers(0, 12))
+        ipick = rng.integers(0, n_sta, n_arv)
+        w = rng.uniform(0, 1, (n_arv, n_src, 2))
+        w *= rng.uniform(0, 1, (n_arv, n_src, 2)) > 0.5
+        cost = float(rng.uniform(0.1, 1.5))
+        assign, active = competitive_assignment(w, ipick, cost)
+        tot = sum(w[i, assign[i, 0], assign[i, 1]]
+                  for i in range(n_arv) if assign[i, 0] >= 0)
+        obj = tot - cost * active.sum()
+        assert obj >= _brute_force_assignment_obj(w, ipick, cost) - 1e-9
+
+
+def test_competitive_assignment_heuristic_near_exact():
+    """Above exact_max_sources the pair-flip heuristic stays within 2% of the
+    brute-force optimum on random 8-source instances (honest bound: the
+    heuristic is not provably exact)."""
+    rng = np.random.default_rng(1)
+    worst = 1.0
+    for _ in range(40):
+        n_src, n_sta, n_arv = 8, 4, 14
+        ipick = rng.integers(0, n_sta, n_arv)
+        w = rng.uniform(0, 1, (n_arv, n_src, 2))
+        w *= rng.uniform(0, 1, (n_arv, n_src, 2)) > 0.5
+        cost = float(rng.uniform(0.1, 1.0))
+        assign, active = competitive_assignment(w, ipick, cost,
+                                                exact_max_sources=0)
+        tot = sum(w[i, assign[i, 0], assign[i, 1]]
+                  for i in range(n_arv) if assign[i, 0] >= 0)
+        obj = tot - cost * active.sum()
+        bf = _brute_force_assignment_obj(w, ipick, cost)
+        if bf > 0:
+            worst = min(worst, obj / bf)
+    assert worst >= 0.98, worst

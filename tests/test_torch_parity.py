@@ -1,0 +1,213 @@
+"""Per-layer parity vs an independent PyTorch edge-list reference harness.
+
+BASELINE.md's parity gate: "per-layer activations allclose vs the PyTorch
+reference on the tiny synthetic config". torch-geometric is not installable
+here, so the reference semantics (PyG MessagePassing edge-list scatter,
+module.py:52-331, 610-659) are re-expressed in plain torch with
+``index_add_`` scatter — an implementation with *nothing in common* with the
+dense gather/matmul JAX path — and both run with transplanted weights.
+
+Layers covered: DataAggregation, SpatialAggregation, TemporalAttention,
+LocalSliceCollapse (the four named by the parity target).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from genie_tpu.graphs.build import (
+    build_source_graph,
+    build_station_graph,
+    build_time_pointers,
+)
+from genie_tpu.models.layers import (
+    DataAggregation,
+    LocalSliceCollapse,
+    SpatialAggregation,
+    TemporalAttention,
+)
+
+torch.manual_seed(0)
+ATOL = 1e-4
+
+
+def t(x):
+    return torch.as_tensor(np.asarray(x), dtype=torch.float32)
+
+
+def lin(p, x):
+    return x @ t(p["kernel"]) + t(p["bias"])
+
+
+def prelu(p, x):
+    a = float(np.asarray(p["a"]))
+    return torch.clamp(x, min=0) + a * torch.clamp(x, max=0)
+
+
+def scatter_mean(msg, dst, n):
+    out = torch.zeros((n, msg.shape[1]))
+    out.index_add_(0, dst, msg)
+    deg = torch.zeros(n)
+    deg.index_add_(0, dst, torch.ones(len(dst)))
+    return out / deg.clamp(min=1.0).unsqueeze(1)
+
+
+def product_edges(sta_nbr, sta_valid, src_nbr, n_src, n_sta):
+    """Flat product-graph edge lists (sender, receiver), source-major index
+    s*n_sta + i — the reference's A_prod_sta_sta / A_prod_src_src
+    (train_GENIE_model.py:1140-1149)."""
+    e_sta, e_src = [], []
+    for s in range(n_src):
+        for i in range(n_sta):
+            for kk in range(sta_nbr.shape[1]):
+                if sta_valid[i, kk]:
+                    e_sta.append((s * n_sta + int(sta_nbr[i, kk]), s * n_sta + i))
+            for kk in range(src_nbr.shape[1]):
+                e_src.append((int(src_nbr[s, kk]) * n_sta + i, s * n_sta + i))
+    return (torch.tensor(e_sta, dtype=torch.long).T,
+            torch.tensor(e_src, dtype=torch.long).T)
+
+
+def make_scene(seed=0, n_sta=9, n_src=25):
+    rng = np.random.default_rng(seed)
+    sta_pos = rng.uniform(-40e3, 40e3, (n_sta, 3)).astype(np.float32)
+    src_pos = rng.uniform(-50e3, 50e3, (n_src, 3)).astype(np.float32)
+    src_pos[:, 2] = rng.uniform(-25e3, 0, n_src)
+    sta_nbr, sta_valid = build_station_graph(sta_pos, 3)
+    src_nbr = build_source_graph(src_pos, 5)
+    feat = rng.random((n_src, n_sta, 4)).astype(np.float32)
+    mask = (feat > 0.4).astype(np.float32)
+    return (sta_pos, src_pos, np.asarray(sta_nbr), np.asarray(sta_valid),
+            np.asarray(src_nbr), feat, mask)
+
+
+def test_data_aggregation_parity():
+    sta_pos, src_pos, sta_nbr, sta_valid, src_nbr, feat, mask = make_scene()
+    n_src, n_sta = feat.shape[:2]
+    layer = DataAggregation()
+    params = layer.init(jax.random.PRNGKey(1), jnp.asarray(feat),
+                        jnp.asarray(mask), jnp.asarray(sta_nbr),
+                        jnp.asarray(sta_valid), jnp.asarray(src_nbr))
+    ours = np.asarray(layer.apply(params, jnp.asarray(feat), jnp.asarray(mask),
+                                  jnp.asarray(sta_nbr), jnp.asarray(sta_valid),
+                                  jnp.asarray(src_nbr)))
+
+    p = params["params"]
+    # PReLU call order: act, act11, act12, act1, act21, act22, act2
+    A = [p[f"PReLU_{i}"] for i in range(7)]
+    e_sta, e_src = product_edges(sta_nbr, sta_valid, src_nbr, n_src, n_sta)
+    N = n_src * n_sta
+    tr = torch.cat((t(feat).reshape(N, -1), t(mask).reshape(N, -1)), -1)
+    m = t(mask).reshape(N, -1)
+    tr = prelu(A[0], lin(p["init_trns"], tr))
+    agg_sta = scatter_mean(prelu(A[1], tr)[e_sta[0]], e_sta[1], N)
+    agg_src = scatter_mean(prelu(A[2], tr)[e_src[0]], e_src[1], N)
+    tr1 = lin(p["l1_t1_2"], torch.cat((tr, agg_sta, m), -1))
+    tr2 = lin(p["l1_t2_2"], torch.cat((tr, agg_src, m), -1))
+    tr = prelu(A[3], torch.cat((tr1, tr2), -1))
+    agg_sta = scatter_mean(prelu(A[4], lin(p["l2_t1_1"], tr))[e_sta[0]], e_sta[1], N)
+    agg_src = scatter_mean(prelu(A[5], lin(p["l2_t2_1"], tr))[e_src[0]], e_src[1], N)
+    tr1 = lin(p["l2_t1_2"], torch.cat((tr, agg_sta, m), -1))
+    tr2 = lin(p["l2_t2_2"], torch.cat((tr, agg_src, m), -1))
+    ref = prelu(A[6], torch.cat((tr1, tr2), -1)).numpy().reshape(n_src, n_sta, -1)
+    np.testing.assert_allclose(ours, ref, atol=ATOL, rtol=1e-4)
+
+
+def test_spatial_aggregation_parity():
+    sta_pos, src_pos, sta_nbr, sta_valid, src_nbr, feat, mask = make_scene(1)
+    n_src = src_pos.shape[0]
+    rng = np.random.default_rng(2)
+    x = rng.random((n_src, 15)).astype(np.float32)
+    layer = SpatialAggregation(15, 30)
+    params = layer.init(jax.random.PRNGKey(2), jnp.asarray(x),
+                        jnp.asarray(src_nbr), jnp.asarray(src_pos))
+    ours = np.asarray(layer.apply(params, jnp.asarray(x), jnp.asarray(src_nbr),
+                                  jnp.asarray(src_pos)))
+
+    p = params["params"]
+    # PReLU call order: act3 (global), act1 (message), act2 (output)
+    a3, a1, a2 = p["PReLU_0"], p["PReLU_1"], p["PReLU_2"]
+    edges = [(int(src_nbr[s, kk]), s) for s in range(n_src)
+             for kk in range(src_nbr.shape[1])]
+    e = torch.tensor(edges, dtype=torch.long).T
+    pos = t(src_pos) / 30e3
+    x_t = t(x)
+    x_j = x_t[e[0]]
+    glob = prelu(a3, lin(p["fglobal"], x_j)).mean(0, keepdim=True).repeat(len(edges), 1)
+    msg = prelu(a1, lin(p["fc1"], torch.cat((x_j, pos[e[1]] - pos[e[0]], glob), -1)))
+    agg = scatter_mean(msg, e[1], n_src)
+    ref = prelu(a2, lin(p["fc2"], torch.cat((x_t, agg), -1))).numpy()
+    np.testing.assert_allclose(ours, ref, atol=ATOL, rtol=1e-4)
+
+
+def test_temporal_attention_parity():
+    rng = np.random.default_rng(3)
+    n, n_t = 30, 7
+    x = rng.random((n, 30)).astype(np.float32)
+    tq = np.linspace(-5, 5, n_t).reshape(-1, 1).astype(np.float32)
+    layer = TemporalAttention(30, 1, n_latent=15, n_heads=5, scale_t=9.0)
+    params = layer.init(jax.random.PRNGKey(3), jnp.asarray(x), jnp.asarray(tq))
+    ours = np.asarray(layer.apply(params, jnp.asarray(x), jnp.asarray(tq)))
+
+    p = params["params"]
+    A = [p[f"PReLU_{i}"] for i in range(5)]  # activate1..activate5
+    H, L = 5, 15
+    ctx = lin(p["f_context_2"], prelu(A[0], lin(p["f_context_1"], t(x)))).view(n, H, L)
+    val = lin(p["f_values_2"], prelu(A[1], lin(p["f_values_1"], t(x)))).view(n, H, L)
+    qry = lin(p["temporal_query_2"],
+              prelu(A[2], lin(p["temporal_query_1"], t(tq) / 9.0))).view(n_t, H, L)
+    scores = (ctx.unsqueeze(1) * qry.unsqueeze(0)).sum(-1, keepdim=True) / np.sqrt(L)
+    out = prelu(A[3], (scores * val.unsqueeze(1)).mean(2))
+    ref = lin(p["proj_2"], prelu(A[4], lin(p["proj_1"], out))).numpy()
+    np.testing.assert_allclose(ours, ref, atol=ATOL, rtol=1e-4)
+
+
+def test_local_slice_collapse_parity():
+    sta_pos, src_pos, sta_nbr, sta_valid, src_nbr, feat, mask = make_scene(4)
+    n_src, n_sta = feat.shape[:2]
+    d = np.linalg.norm(src_pos[:, None] - sta_pos[None], axis=-1)
+    trv = np.stack((d / 5500.0, d / 3100.0), -1).astype(np.float32)
+    ptr_p, ptr_s, dt0, dt, n_dt = build_time_pointers(trv, dt=1.0, k=4, win=10.0)
+    rng = np.random.default_rng(5)
+    n_pick = 20
+    s_feat = rng.random((n_src, n_sta, 30)).astype(np.float32)
+    tpick = rng.uniform(dt0 + 1, dt0 + (n_dt - 2), n_pick).astype(np.float32)
+    ipick = rng.integers(0, n_sta, n_pick).astype(np.int32)
+    phase = rng.integers(0, 2, (n_pick, 1)).astype(np.float32)
+    pm = np.ones(n_pick, bool)
+
+    eps = 15.0
+    layer = LocalSliceCollapse(30, 15, eps=eps)
+    args = (jnp.asarray(ptr_p), jnp.float32(dt0), jnp.float32(dt),
+            jnp.asarray(tpick), jnp.asarray(ipick), jnp.asarray(phase),
+            jnp.asarray(s_feat), jnp.asarray(trv[:, :, 0]), jnp.asarray(pm))
+    params = layer.init(jax.random.PRNGKey(6), *args)
+    ours = np.asarray(layer.apply(params, *args))
+
+    p = params["params"]
+    a1, a2 = p["PReLU_0"], p["PReLU_1"]
+    # reference flat A_edges table: product index = src*n_sta + sta
+    # (utils.py:602-643 assemble_time_pointers_for_stations)
+    k = ptr_p.shape[2]
+    A_edges = (np.asarray(ptr_p) * n_sta
+               + np.arange(n_sta)[:, None, None]).reshape(-1)
+    dt_partition = dt0 + np.arange(n_dt) * dt
+    inpt = t(s_feat.transpose(0, 1, 2).reshape(n_src * n_sta, -1))
+    tlat = t(trv[:, :, 0].reshape(-1, 1))
+    # ref forward (module.py:624-655)
+    t_index = np.floor((tpick - dt_partition[0]) / dt).astype(np.int64)
+    t_index = ((ipick * n_dt * k + t_index * k)[:, None]
+               + np.arange(k)[None]).reshape(-1)
+    src_index = np.repeat(np.arange(n_pick), k)
+    sl = np.stack((A_edges[t_index], src_index))
+    t_rel = tpick[sl[1]] - np.asarray(tlat)[sl[0], 0]
+    ikeep = np.where(np.abs(t_rel) < 2.0 * eps)[0]
+    sl = sl[:, ikeep]
+    msg = prelu(a1, lin(p["fc1"], torch.cat((
+        inpt[sl[0]],
+        t((tpick[sl[1]] - np.asarray(tlat)[sl[0], 0]) / eps).unsqueeze(1),
+        t(phase[sl[1]])), -1)))
+    agg = scatter_mean(msg, torch.as_tensor(sl[1]), n_pick)
+    ref = prelu(a2, lin(p["fc2"], agg)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=ATOL, rtol=1e-4)

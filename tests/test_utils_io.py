@@ -117,3 +117,67 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = load_checkpoint(tmp_path / "ckpt", state)
     assert int(restored.step) == 7
     assert np.allclose(restored.params["w"], params["w"])
+
+
+def test_hypodd_catalog_conversion(tmp_path):
+    """HypoDD catalog.txt → per-day Catalog hdf5 (ref make_initial_files.py:
+    163-283): parse, group by day, amplitude-match against Picks/, roundtrip
+    through load_catalog."""
+    from genie_tpu.config import Config
+    from genie_tpu.geometry import Projection
+    from genie_tpu.io import load_catalog, project_dirs, save_picks
+    from genie_tpu.setup.project import (convert_hypodd_catalog,
+                                         parse_hypodd_catalog)
+
+    cfg = Config()
+    cfg.region.name = "T"
+    sta_names = np.array(["AAA", "BBB", "CCC"])
+    dirs = project_dirs(tmp_path, "T")
+    catalog = "\n".join([
+        "# 2020 1 2 3 4 5.5 40.1 -124.2 7.5 2.1 0.4 0.8 0.1 1",
+        "AAA 3.2 0.9 P",
+        "BBB 5.9 0.8 S",
+        "# 2020 1 2 10 0 0.0 40.3 -124.0 4.0 1.5 0.2 0.2 0.1 2",
+        "CCC 2.0 0.7 P",
+        "# 2020 1 3 0 0 1.0 40.0 -124.1 10.0 3.0 1.0 1.0 0.1 3",
+        "AAA 4.0 0.95 P",
+    ])
+    (tmp_path / "catalog.txt").write_text(catalog)
+
+    evs = parse_hypodd_catalog(tmp_path / "catalog.txt", sta_names)
+    assert len(evs) == 3
+    assert evs[0]["date"] == (2020, 1, 2)
+    tod0 = 3 * 3600 + 4 * 60 + 5.5
+    assert abs(evs[0]["tod"] - tod0) < 1e-6
+    assert evs[0]["lla"] == (40.1, -124.2, -7500.0)
+    assert abs(evs[0]["sigma_m"] - 600.0) < 1e-6
+    assert evs[0]["picks"].shape == (2, 4)
+    assert abs(evs[0]["picks"][0, 0] - (tod0 + 3.2)) < 1e-6
+
+    # a Picks file for day 1 containing a matching AAA pick with an amplitude
+    save_picks(dirs["picks"] / "2020" / "T_2020_1_2_ver_1.npz",
+               np.array([tod0 + 3.4]), np.array([0]), np.array([0.0]),
+               amp=np.array([123.0]))
+
+    proj = Projection.from_center((40.0, -124.0))
+    days = convert_hypodd_catalog(tmp_path / "catalog.txt", dirs, cfg,
+                                  sta_names, proj)
+    assert days == ["2020-1-2", "2020-1-3"]
+    f1 = (dirs["catalog"] / "2020" /
+          "T_results_continuous_days_2020_1_2_ver_1.hdf5")
+    cat = load_catalog(f1)
+    assert len(cat) == 2
+    assert cat[0].mag == 2.1
+    assert list(cat[0].picks) == [0, 1]
+    assert list(cat[0].pick_phases) == [0, 1]
+    assert list(cat[1].picks) == [2]
+    import h5py
+    with h5py.File(f1, "r") as f:
+        assert abs(f.attrs["amp"][0] - 123.0) < 1e-9   # matched within 1 s
+        assert f.attrs["amp"][1] == 0.0                # S pick: no match
+    # unknown station must raise (reference asserts)
+    (tmp_path / "bad.txt").write_text(
+        "# 2020 1 2 0 0 0.0 40 -124 5 1 0.1 0.1 0.1 9\nZZZ 1.0 0.5 P")
+    import pytest
+    with pytest.raises(ValueError):
+        parse_hypodd_catalog(tmp_path / "bad.txt", sta_names)

@@ -84,3 +84,52 @@ def test_full_project_workflow(tmp_path):
     # and reload cleanly
     back = load_catalog(tmp_path / "catalog_day.hdf5")
     assert len(back) == len(events)
+
+
+def test_build_velocity_volume_types():
+    """All three reference velocity-model types + topography masking
+    (calculate_travel_times_3D_build_data.py:240-347)."""
+    import numpy as np
+
+    from genie_tpu.config import Config
+    from genie_tpu.geometry import Projection
+    from genie_tpu.workflow import build_velocity_volume
+
+    cfg = Config()
+    cfg.region.lat_range = (39.9, 40.1)
+    cfg.region.lon_range = (-124.1, -123.9)
+    proj = Projection.from_center((40.0, -124.0))
+    lo = np.array([-10e3, -10e3, -20e3])
+    shape, h = (11, 11, 11), 2000.0  # x, y span -10..10 km symmetric
+
+    # 1-D default profile: constant per z-slice, increasing with depth
+    vp, vs = build_velocity_volume(cfg, proj, lo, shape, h)
+    assert vp.shape == shape
+    assert np.allclose(vp[0, 0], vp[3, 4])  # laterally constant
+    assert vp[..., 0].mean() >= vp[..., -1].mean()  # z index 0 is deepest
+
+    # 3-D scattered: two half-spaces split across x
+    pts = np.array([[40.0, -124.05, -10e3], [40.0, -123.95, -10e3]])
+    vm = {"type": "3d", "points_lla": pts,
+          "vp": np.array([5000.0, 7000.0]), "vs": np.array([3000.0, 4000.0])}
+    vp3, _ = build_velocity_volume(cfg, proj, lo, shape, h, vel_model=vm)
+    assert {5000.0, 7000.0} == set(np.unique(vp3).tolist())
+    assert vp3[0, 5, 0] != vp3[-1, 5, 0]  # east/west differ
+
+    # multi-profile: nearest (radius-normalized) regional profile wins
+    vm = {"type": "profiles", "profiles": [
+        {"coor": (40.0, -124.08), "radius_km": 10.0,
+         "depths": [-20e3, 0.0], "vp": [6000.0, 6000.0], "vs": [3500.0, 3500.0]},
+        {"coor": (40.0, -123.92), "radius_km": 10.0,
+         "depths": [-20e3, 0.0], "vp": [8000.0, 8000.0], "vs": [4500.0, 4500.0]},
+    ]}
+    vpp, _ = build_velocity_volume(cfg, proj, lo, shape, h, vel_model=vm)
+    assert {vpp[0, 5, 5], vpp[-1, 5, 5]} == {6000.0, 8000.0}
+
+    # topography: flat surface at -2 km -> everything above is air speed
+    surf = np.array([[40.0, -124.0, -2000.0]])
+    vpt, vst = build_velocity_volume(cfg, proj, lo, shape, h, surface_lla=surf)
+    zs = lo[2] + np.arange(shape[2]) * h
+    above = zs > -2000.0
+    assert np.all(vpt[..., above] == 343.0) and np.all(vst[..., above] == 343.0)
+    assert np.all(vpt[..., ~above] > 1000.0)
