@@ -16,6 +16,7 @@ training and inference; ``forward_detection_only`` mirrors
 
 from __future__ import annotations
 
+import typing as _t
 from typing import NamedTuple
 
 import jax
@@ -98,6 +99,10 @@ class Detector(nn.Module):
     # features in both dual-relation convs (ref module.py:102-210,
     # :1059-1072 — DataAggregationEdges variant)
     use_updated_model_definition: bool = False
+    # pod-scale override for the source-axis product aggregation (see
+    # parallel/sharded_detector.py); parameter structure is unchanged, so
+    # dense-trained weights run sharded and vice versa
+    src_agg: _t.Callable | None = None
 
     @property
     def scale_t(self) -> float:
@@ -111,7 +116,8 @@ class Detector(nn.Module):
         in_ch = 4 + (6 if self.use_absolute_pos else 0)
         self.data_agg = DataAggregation(
             in_channels=in_ch, out_channels=15, via_matmul=self.via_matmul,
-            use_edges=self.use_updated_model_definition)
+            use_edges=self.use_updated_model_definition,
+            src_agg=self.src_agg)
         self.read_in = BipartiteReadIn(30, 15, normalize=self.normalize_readin)
         self.spatial1 = SpatialAggregation(15, 30, scale_rel=self.scale_rel)
         self.spatial2 = SpatialAggregation(30, 30, scale_rel=self.scale_rel)
@@ -122,7 +128,8 @@ class Detector(nn.Module):
         self.read_out = BipartiteReadOut(30, 15)
         self.assoc_agg = DataAggregationAssociationPhase(
             15, 15, via_matmul=self.via_matmul,
-            use_edges=self.use_updated_model_definition)
+            use_edges=self.use_updated_model_definition,
+            src_agg=self.src_agg)
         self.slice_p = LocalSliceCollapse(30, 15, eps=self.eps, use_phase_types=self.use_phase_types)
         self.slice_s = LocalSliceCollapse(30, 15, eps=self.eps, use_phase_types=self.use_phase_types)
         self.arrivals = StationSourceAttention(
@@ -142,20 +149,35 @@ class Detector(nn.Module):
         rel_src = mean_rel_pos_embed(graph.src_pos, graph.src_nbr, self.scale_rel)
         return rel_sta, rel_src
 
-    def _detection_trunk(self, feat, mask, graph: GraphBundle, sta_pos):
+    def _trunk_product(self, feat, mask, graph: GraphBundle, sta_pos,
+                       rel_sta=None, rel_src=None):
+        """Product-tensor stage: dual-relation conv + station read-in.
+        This is the memory/FLOP-dominant part; the sharded trunk runs it
+        under shard_map with source-partitioned rows."""
         if self.use_absolute_pos:
             n_src, n_sta = feat.shape[:2]
             sta_b = jnp.broadcast_to(sta_pos[None], (n_src, n_sta, 3)) / (3.0 * self.scale_rel)
             src_b = jnp.broadcast_to(graph.src_pos[:, None], (n_src, n_sta, 3)) / (3.0 * self.scale_rel)
             feat = jnp.concatenate((feat, sta_b, src_b), axis=-1)
-        rel_sta, rel_src = self._rel_tables(graph, sta_pos)
+        if rel_sta is None:
+            rel_sta, rel_src = self._rel_tables(graph, sta_pos)
         x_latent = self.data_agg(feat, mask, graph.sta_nbr, graph.sta_nbr_valid,
                                  graph.src_nbr, rel_sta, rel_src)
         x = self.read_in(x_latent, graph.edge_feat, mask, graph.sta_mask)
+        return x_latent, x
+
+    def _trunk_nodes(self, x, graph: GraphBundle):
+        """Node-tensor stage: source-graph convs + direct head (cheap:
+        (n_src, C) only)."""
         x = self.spatial1(x, graph.src_nbr, graph.src_pos)
         x = self.spatial2(x, graph.src_nbr, graph.src_pos)
         x_spatial = self.spatial3(x, graph.src_nbr, graph.src_pos)
         y_latent = self.spatial_direct(x_spatial)
+        return x_spatial, y_latent
+
+    def _detection_trunk(self, feat, mask, graph: GraphBundle, sta_pos):
+        x_latent, x = self._trunk_product(feat, mask, graph, sta_pos)
+        x_spatial, y_latent = self._trunk_nodes(x, graph)
         return x_latent, x_spatial, y_latent
 
     def __call__(self, feat, mask, graph: GraphBundle, sta_pos, picks: PickSet, queries: QuerySet):
@@ -189,12 +211,17 @@ class Detector(nn.Module):
                             picks.pair_idx, picks.pair_valid, picks.mask)
         return y, x_q, arv[:, :, 0:1], arv[:, :, 1:2]
 
+    def _detection_heads(self, x_spatial, y_latent, graph: GraphBundle,
+                         x_query, x_query_idx, t_query):
+        y = self.temporal_attn(y_latent, t_query)
+        x_q = self.spatial_attn(x_spatial, x_query_idx, graph.src_pos, x_query)
+        x_q = self.temporal_attn(x_q, t_query)
+        return y, x_q
+
     def forward_detection_only(self, feat, mask, graph: GraphBundle, sta_pos,
                                x_query, x_query_idx, t_query):
         """Detection sweep without the association head (the reference's
         ``forward_fixed_source``, module.py:999-1020)."""
         _, x_spatial, y_latent = self._detection_trunk(feat, mask, graph, sta_pos)
-        y = self.temporal_attn(y_latent, t_query)
-        x_q = self.spatial_attn(x_spatial, x_query_idx, graph.src_pos, x_query)
-        x_q = self.temporal_attn(x_q, t_query)
-        return y, x_q
+        return self._detection_heads(x_spatial, y_latent, graph,
+                                     x_query, x_query_idx, t_query)

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 
 
+from typing import Callable
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -84,6 +86,11 @@ class DataAggregation(nn.Module):
     n_mask: int = 4
     via_matmul: bool = False
     use_edges: bool = False
+    # override for the source-axis product aggregation: callable (x) -> agg
+    # with x (n_src_local, n_sta, C). Used by the pod-scale sharded trunk
+    # (parallel/sharded_detector.py) to ride the halo exchange; None = dense
+    # fixed-k gather/matmul over ``src_nbr``.
+    src_agg: Callable | None = None
 
     @nn.compact
     def __call__(self, tr, mask, sta_nbr, sta_nbr_valid, src_nbr,
@@ -92,6 +99,8 @@ class DataAggregation(nn.Module):
         act = PReLU()
         act11, act12, act1 = PReLU(), PReLU(), PReLU()
         act21, act22, act2 = PReLU(), PReLU(), PReLU()
+        agg_over_src = self.src_agg or (
+            lambda x: mean_src_axis(x, src_nbr, via_matmul=self.via_matmul))
 
         if self.use_edges:
             n_src, n_sta = tr.shape[:2]
@@ -110,14 +119,14 @@ class DataAggregation(nn.Module):
         # Round 1 (the reference feeds act(tr) directly to propagate here;
         # its l1_*_1 linears exist but are unused — behaviour preserved)
         agg_sta = cat_sta(mean_sta_axis(act11(tr), sta_nbr, sta_nbr_valid, self.via_matmul))
-        agg_src = cat_src(mean_src_axis(act12(tr), src_nbr, via_matmul=self.via_matmul))
+        agg_src = cat_src(agg_over_src(act12(tr)))
         tr1 = nn.Dense(h, name="l1_t1_2")(jnp.concatenate((tr, agg_sta, mask), -1))
         tr2 = nn.Dense(h, name="l1_t2_2")(jnp.concatenate((tr, agg_src, mask), -1))
         tr = act1(jnp.concatenate((tr1, tr2), axis=-1))
 
         # Round 2
         agg_sta = cat_sta(mean_sta_axis(act21(nn.Dense(h, name="l2_t1_1")(tr)), sta_nbr, sta_nbr_valid, self.via_matmul))
-        agg_src = cat_src(mean_src_axis(act22(nn.Dense(h, name="l2_t2_1")(tr)), src_nbr, via_matmul=self.via_matmul))
+        agg_src = cat_src(agg_over_src(act22(nn.Dense(h, name="l2_t2_1")(tr))))
         tr1 = nn.Dense(self.out_channels, name="l2_t1_2")(jnp.concatenate((tr, agg_sta, mask), -1))
         tr2 = nn.Dense(self.out_channels, name="l2_t2_2")(jnp.concatenate((tr, agg_src, mask), -1))
         return act2(jnp.concatenate((tr1, tr2), axis=-1))
@@ -272,6 +281,7 @@ class DataAggregationAssociationPhase(nn.Module):
     n_latent: int = 30
     via_matmul: bool = False
     use_edges: bool = False
+    src_agg: Callable | None = None   # see DataAggregation.src_agg
 
     @nn.compact
     def __call__(self, tr, latent, mask1, mask2, sta_nbr, sta_nbr_valid,
@@ -280,6 +290,8 @@ class DataAggregationAssociationPhase(nn.Module):
         act = PReLU()
         act11, act12, act1 = PReLU(), PReLU(), PReLU()
         act21, act22, act2 = PReLU(), PReLU(), PReLU()
+        agg_over_src = self.src_agg or (
+            lambda x: mean_src_axis(x, src_nbr, via_matmul=self.via_matmul))
 
         if self.use_edges:
             n_src, n_sta = tr.shape[:2]
@@ -297,13 +309,13 @@ class DataAggregationAssociationPhase(nn.Module):
         tr = act(nn.Dense(h, name="init_trns")(tr))
 
         agg_sta = cat_sta(mean_sta_axis(act11(nn.Dense(h, name="l1_t1_1")(tr)), sta_nbr, sta_nbr_valid, self.via_matmul))
-        agg_src = cat_src(mean_src_axis(act12(nn.Dense(h, name="l1_t2_1")(tr)), src_nbr, via_matmul=self.via_matmul))
+        agg_src = cat_src(agg_over_src(act12(nn.Dense(h, name="l1_t2_1")(tr))))
         tr1 = nn.Dense(h, name="l1_t1_2")(jnp.concatenate((tr, agg_sta, mask), -1))
         tr2 = nn.Dense(h, name="l1_t2_2")(jnp.concatenate((tr, agg_src, mask), -1))
         tr = act1(jnp.concatenate((tr1, tr2), axis=-1))
 
         agg_sta = cat_sta(mean_sta_axis(act21(nn.Dense(h, name="l2_t1_1")(tr)), sta_nbr, sta_nbr_valid, self.via_matmul))
-        agg_src = cat_src(mean_src_axis(act22(nn.Dense(h, name="l2_t2_1")(tr)), src_nbr, via_matmul=self.via_matmul))
+        agg_src = cat_src(agg_over_src(act22(nn.Dense(h, name="l2_t2_1")(tr))))
         tr1 = nn.Dense(self.out_channels, name="l2_t1_2")(jnp.concatenate((tr, agg_sta, mask), -1))
         tr2 = nn.Dense(self.out_channels, name="l2_t2_2")(jnp.concatenate((tr, agg_src, mask), -1))
         return act2(jnp.concatenate((tr1, tr2), axis=-1))

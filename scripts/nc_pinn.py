@@ -100,9 +100,10 @@ def main():
     print(f"bank {n_bank/1e6:.1f}M samples; t_max {t_max:.1f}s; "
           f"L {L/1e3:.0f} km", flush=True)
 
-    def sample_fn(key, n):
-        i = jax.random.randint(key, (n,), 0, n_bank)
-        return bank["sta"][i], bank["src"][i], bank["t"][i]
+    # NOTE: the bank must be a runtime argument of the jitted step, not a
+    # closure capture — closed-over concrete arrays are embedded as program
+    # constants, and a ~350 MB program body overflows the remote-compile
+    # transport (HTTP 413) on the tunneled TPU.
 
     # velocity damping toward the 1-D profile (normalized units)
     depths = jnp.asarray(cfg.velocity.depths, jnp.float32)
@@ -116,19 +117,21 @@ def main():
         return jnp.stack((vp, vs), axis=1) * tau / L
 
     model = TravelTimesPN()
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)),
-                        jnp.zeros((1, 3)), scales.conversion_factor,
-                        scales.v_mean, scales.t_scale,
-                        method=TravelTimesPN.init_all)
+    params = jax.jit(model.init, static_argnames="method")(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3)),
+        jnp.zeros((1, 3)), scales.conversion_factor,
+        scales.v_mean, scales.t_scale,
+        method=TravelTimesPN.init_all)
     loss_fn = make_pinn_loss(model, scales, v_init_fn=v_init_fn)
     sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, k):
+    def step(params, opt_state, k, bank):
         ks, kl = jax.random.split(k)
-        sta_n, src_n, t_obs_n = sample_fn(ks, args.batch)
+        i = jax.random.randint(ks, (args.batch,), 0, n_bank)
+        sta_n, src_n, t_obs_n = bank["sta"][i], bank["src"][i], bank["t"][i]
         (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, sta_n, src_n, t_obs_n, kl)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -138,7 +141,7 @@ def main():
     t0 = time.time()
     for i in range(args.steps):
         key, k = jax.random.split(key)
-        params, opt_state, total, parts = step(params, opt_state, k)
+        params, opt_state, total, parts = step(params, opt_state, k, bank)
         if i % 1000 == 0 or i == args.steps - 1:
             print(f"pinn step {i} loss {float(total):.5f} "
                   f"data {float(parts['data']):.5f} pde {float(parts['pde']):.5f} "

@@ -45,3 +45,34 @@ def test_partition_halo_is_thin():
     src_nbr = np.asarray(build_source_graph(src_pos, 15))
     part = build_partition(src_pos, src_nbr, 8)
     assert part.halo_pad < n_src // 8  # halo smaller than a full shard
+
+
+def test_sharded_detection_forward_matches_dense():
+    """The pod-scale sharded trunk (product stage under shard_map with halo
+    exchange) must equal Detector.forward_detection_only with the same
+    dense-trained params — both model variants (base + edge-featured)."""
+    from genie_tpu.models.detector import Detector
+    from genie_tpu.parallel.sharded_detector import (
+        make_sharded_detection_forward)
+    from tests.test_detector import make_tiny_scene
+
+    feat, mask, graph, sta_pos, picks, queries = make_tiny_scene(
+        seed=3, n_src=64)
+    mesh = make_mesh(8, axis_names=("src",))
+
+    for updated in (False, True):
+        model = Detector(src_chunk=4, use_updated_model_definition=updated)
+        params = model.init(jax.random.PRNGKey(0), feat, mask, graph, sta_pos,
+                            picks, queries)
+        want_y, want_x = model.apply(
+            params, feat, mask, graph, sta_pos, queries.x_query,
+            queries.x_query_idx, queries.t_query,
+            method=Detector.forward_detection_only)
+
+        fwd, part = make_sharded_detection_forward(model, graph, sta_pos, mesh)
+        got_y, got_x = jax.jit(fwd)(params, feat, mask, queries.x_query,
+                                    queries.x_query_idx, queries.t_query)
+        assert np.allclose(np.asarray(got_y), np.asarray(want_y),
+                           atol=1e-5), f"y mismatch (updated={updated})"
+        assert np.allclose(np.asarray(got_x), np.asarray(want_x),
+                           atol=1e-5), f"x_q mismatch (updated={updated})"
