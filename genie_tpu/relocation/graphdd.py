@@ -35,18 +35,39 @@ from genie_tpu.ops.segment import gather_mean_src_axis, gather_mean_sta_axis
 
 
 class RelocGraph(NamedTuple):
-    """One static-shape relocation graph (S sources × n_sta stations)."""
+    """One static-shape relocation graph (S sources × n_sta_g stations).
+
+    The station axis is the per-graph *observed* subset (the reference's
+    subgraph-of-the-Cartesian-product, build_subsets_of_paired_sources.py:
+    411-494): ``sta_sel`` indexes the full station array, obs arrays are
+    already sliced to it. ``node_type`` is the 3-tier label of the source
+    sampler (0 = seed, 1 = neighbour, 2 = second hop; ref :261-409) — loss
+    pairs connect only tier-0/1 nodes."""
 
     src_pos: jnp.ndarray     # (S, 3) initial Cartesian positions
     src_time: jnp.ndarray    # (S,) origin times
     src_mask: jnp.ndarray    # (S,) bool
-    obs_time: jnp.ndarray    # (S, n_sta, 2) observed arrivals (absolute)
-    obs_mask: jnp.ndarray    # (S, n_sta, 2) pick presence
+    node_type: jnp.ndarray   # (S,) int 0/1/2 (padding: 2)
+    node_ids: jnp.ndarray    # (S,) global catalog indices (padding: 0)
+    obs_time: jnp.ndarray    # (S, n_sta_g, 2) observed arrivals (absolute)
+    obs_mask: jnp.ndarray    # (S, n_sta_g, 2) pick presence
     src_nbr: jnp.ndarray     # (S, k_src) source kNN within the graph
-    sta_nbr: jnp.ndarray     # (n_sta, k_sta)
+    sta_nbr: jnp.ndarray     # (n_sta_g, k_sta)
+    sta_sel: jnp.ndarray     # (n_sta_g,) indices into the full station set
+    sta_mask: jnp.ndarray    # (n_sta_g,) bool (False = padding row)
     pair_a: jnp.ndarray      # (n_pairs,) loss-edge source indices
     pair_b: jnp.ndarray      # (n_pairs,)
     pair_mask: jnp.ndarray   # (n_pairs,) bool
+    # optional dt.cc differential-time observations (graph-local indices;
+    # all-zero masks when unused — ref train_double_difference_model.py:
+    # 654-689, 1010-1035)
+    dt_a: jnp.ndarray = None        # (n_dt,) source a
+    dt_b: jnp.ndarray = None        # (n_dt,) source b
+    dt_sta: jnp.ndarray = None      # (n_dt,) station (graph-local)
+    dt_ph: jnp.ndarray = None       # (n_dt,) phase 0/1
+    dt_w: jnp.ndarray = None        # (n_dt,) weight
+    dt_t: jnp.ndarray = None        # (n_dt,) observed differential time
+    dt_mask: jnp.ndarray = None     # (n_dt,) bool
 
 
 def build_catalog_data(trv_from_cart, sta_cart, src_pos, src_time, obs_time, obs_mask):
@@ -84,37 +105,175 @@ def drop_isolated_sources(src_pos, src_mask, obs_mask, min_picks: int = 6,
     return src_mask & (n_picks >= min_picks) & has_nbr
 
 
+def select_sources_by_pick_budget(cnt_per_source, n_total: int):
+    """Exact replacement of the reference's cvxpy ILP
+    (``optimize_source_selection``, build_subsets_of_paired_sources.py:
+    496-519): pick a source subset maximizing total pick count subject to
+    total ≤ n_total. Because value == weight this is subset-sum, solved
+    exactly by DP over the budget. Returns selected indices."""
+    cnt = np.asarray(cnt_per_source, np.int64)
+    budget = int(min(n_total, cnt.sum()))
+    if budget <= 0:
+        return np.zeros(0, np.int64)
+    reach = np.zeros(budget + 1, bool)
+    reach[0] = True
+    choice = np.full((len(cnt), budget + 1), False)
+    for i, c in enumerate(cnt):
+        if c == 0 or c > budget:
+            continue
+        new = np.zeros_like(reach)
+        new[c:] = reach[:-c]
+        take = new & ~reach
+        choice[i] = take
+        reach |= new
+    best = int(np.nonzero(reach)[0][-1])
+    sel, b = [], best
+    for i in range(len(cnt) - 1, -1, -1):
+        if b > 0 and choice[i, b]:
+            sel.append(i)
+            b -= int(cnt[i])
+    return np.asarray(sel[::-1], np.int64)
+
+
+def _fixed_k_table(edges_a, edges_b, n_nodes, k, rng):
+    """Sampled directed edge list (a → b receiver) → fixed-k per-receiver
+    neighbour table, padded with self-loops."""
+    tbl = np.tile(np.arange(n_nodes)[:, None], (1, k))
+    for j in range(n_nodes):
+        nb = np.unique(edges_a[edges_b == j])
+        if len(nb) > k:
+            nb = rng.choice(nb, k, replace=False)
+        tbl[j, :len(nb)] = nb
+    return tbl
+
+
 def make_relocation_graphs(key, src_pos, src_time, obs_time, obs_mask, sta_cart,
                            n_graphs: int, graph_size: int = 32, k_src: int = 8,
                            k_sta: int = 8, max_pair_dist: float = 10e3,
-                           n_pairs: int = 256):
-    """Sample relocation graphs: seed source + nearest neighbours (capped at
-    graph_size); loss pairs = close source pairs inside the graph."""
+                           n_pairs: int = 256, n_seed: int = 6,
+                           max_src_pair_dist: float = 50e3,
+                           sta_budget: int | None = None,
+                           pick_budget: int | None = None):
+    """Sample relocation graphs with the reference's 3-tier random source
+    graph (build_subsets_of_paired_sources.py:261-409): ``n_seed`` random
+    tier-0 sources, random neighbours within ``max_src_pair_dist`` (tier 1),
+    their neighbours (tier 2, ~1/3 as many edges), extra edges among tiers
+    0/1. Loss pairs connect only tier-0/1 nodes within ``max_pair_dist``.
+
+    The station axis is restricted to the graph's *observed* stations,
+    capped at ``sta_budget`` (ref subgraph product, :411-494). When the
+    tiered node set exceeds ``graph_size``, sources are kept by the exact
+    pick-budget selection (``pick_budget`` picks total; ref ILP :496-519) —
+    seeds always survive.
+    """
     n_src = src_pos.shape[0]
     rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
-    src_pos_np = np.asarray(src_pos)
+    src_pos_np = np.asarray(src_pos, np.float64)
+    obs_mask_np = np.asarray(obs_mask)
+    picks_per_src = obs_mask_np.sum(axis=(1, 2)).astype(np.int64)
     graphs = []
-    sta_nbr, _ = knn(jnp.asarray(sta_cart) / 1000.0, jnp.asarray(sta_cart) / 1000.0,
-                     min(k_sta + 1, len(sta_cart)))
-    sta_nbr = sta_nbr[:, 1:]  # drop self
+
+    d_all = None
+    if n_src <= 4096:
+        d_all = np.linalg.norm(src_pos_np[:, None] - src_pos_np[None], axis=-1)
+
+    def neighbors_within(i):
+        d = (d_all[i] if d_all is not None else
+             np.linalg.norm(src_pos_np - src_pos_np[i], axis=1))
+        nb = np.where((d < max_src_pair_dist) & (d > 0))[0]
+        return nb
+
     for _ in range(n_graphs):
-        seed = rng.integers(0, n_src)
-        d = np.linalg.norm(src_pos_np - src_pos_np[seed], axis=1)
-        order = np.argsort(d)[:graph_size]
-        S = len(order)
+        seeds = rng.choice(n_src, size=min(n_seed, n_src), replace=False)
+        tier1, tier2 = [], []
+        edges = []                                  # (sender, receiver) global
+        for s in seeds:
+            nb = neighbors_within(s)
+            if len(nb):
+                ch = rng.choice(nb, min(k_src, len(nb)), replace=False)
+                tier1.append(ch)
+                edges.append(np.stack((ch, np.full(len(ch), s)), 1))
+        tier1 = (np.setdiff1d(np.unique(np.concatenate(tier1)), seeds)
+                 if tier1 else np.zeros(0, np.int64))
+        k2 = max(1, k_src // 3)
+        for s in tier1:
+            nb = neighbors_within(s)
+            if len(nb):
+                ch = rng.choice(nb, min(k2, len(nb)), replace=False)
+                tier2.append(ch)
+                edges.append(np.stack((ch, np.full(len(ch), s)), 1))
+        known = np.concatenate((seeds, tier1))
+        tier2 = (np.setdiff1d(np.unique(np.concatenate(tier2)), known)
+                 if tier2 else np.zeros(0, np.int64))
+
+        ids = np.concatenate((seeds, tier1, tier2))
+        types = np.concatenate((np.zeros(len(seeds), np.int64),
+                                np.ones(len(tier1), np.int64),
+                                np.full(len(tier2), 2, np.int64)))
+        if len(ids) > graph_size:
+            # keep all seeds; budget-select the rest by pick count
+            rest = np.arange(len(seeds), len(ids))
+            budget = (pick_budget if pick_budget is not None
+                      else int(picks_per_src[ids[rest]].mean()
+                               * (graph_size - len(seeds))))
+            keep_rest = rest[select_sources_by_pick_budget(
+                picks_per_src[ids[rest]], budget)]
+            if len(keep_rest) > graph_size - len(seeds):
+                keep_rest = rng.choice(keep_rest, graph_size - len(seeds),
+                                       replace=False)
+            keep = np.concatenate((np.arange(len(seeds)), np.sort(keep_rest)))
+            ids, types = ids[keep], types[keep]
+
+        S = len(ids)
         pad = graph_size - S
-        sel = np.concatenate((order, np.zeros(pad, np.int64)))
+        sel = np.concatenate((ids, np.zeros(pad, np.int64)))
         smask = np.arange(graph_size) < S
+        types_p = np.concatenate((types, np.full(pad, 2, np.int64)))
+        pos_g = src_pos_np[sel].astype(np.float32)
 
-        pos_g = src_pos_np[sel]
-        nbr_idx, _ = knn(jnp.asarray(pos_g) / 1000.0, jnp.asarray(pos_g) / 1000.0,
-                         min(k_src + 1, graph_size))
-        nbr_idx = np.asarray(nbr_idx)[:, 1:]
+        # observed-station subset (ref subgraph product): stations with ≥1
+        # pick among the graph's sources, padded to a static budget
+        om_g = obs_mask_np[sel] * smask[:, None, None]
+        sta_obs = np.where(om_g.max(axis=(0, 2)) > 0)[0]
+        n_sta_g = sta_budget or len(sta_cart)
+        if len(sta_obs) > n_sta_g:
+            order = np.argsort(-om_g.sum(axis=(0, 2))[sta_obs])
+            sta_obs = np.sort(sta_obs[order[:n_sta_g]])
+        sta_sel = np.zeros(n_sta_g, np.int64)
+        sta_sel[:len(sta_obs)] = sta_obs
+        sta_gmask = np.arange(n_sta_g) < len(sta_obs)
 
-        # loss pairs: close pairs within graph
+        sc_g = np.asarray(sta_cart)[sta_sel]
+        sta_nbr, sta_valid = knn(jnp.asarray(sc_g) / 1000.0,
+                                 jnp.asarray(sc_g) / 1000.0,
+                                 min(k_sta + 1, n_sta_g),
+                                 context_mask=jnp.asarray(sta_gmask))
+        sta_nbr = np.asarray(sta_nbr)[:, 1:]
+
+        # conv edges: the sampled tier edges (both directions) + extra edges
+        # among tier-0/1 nodes within radius (ref add_missing_edges_upper_
+        # levels, :367-380), as a fixed-k per-receiver table in local frame
+        glob_to_loc = -np.ones(n_src, np.int64)
+        glob_to_loc[ids] = np.arange(S)
+        e = np.concatenate(edges, 0) if edges else np.zeros((0, 2), np.int64)
+        ea, eb = glob_to_loc[e[:, 0]], glob_to_loc[e[:, 1]]
+        keep_e = (ea >= 0) & (eb >= 0)
+        ea, eb = ea[keep_e], eb[keep_e]
+        up = np.where(types <= 1)[0]
+        if len(up) > 1:
+            du = np.linalg.norm(pos_g[up][:, None] - pos_g[up][None], axis=-1)
+            ui, uj = np.where((du < max_src_pair_dist) & (du > 0))
+            ea = np.concatenate((ea, up[ui]))
+            eb = np.concatenate((eb, up[uj]))
+        ea, eb = np.concatenate((ea, eb)), np.concatenate((eb, ea))  # symmetrize
+        nbr_idx = _fixed_k_table(ea, eb, graph_size, k_src, rng)
+
+        # loss pairs: tier-0/1 nodes only (ref ifind_edges1-4, :399-404)
         dd = np.linalg.norm(pos_g[:, None] - pos_g[None, :], axis=-1)
+        upper = types_p <= 1
         ii, jj = np.where((dd < max_pair_dist) & (dd > 0)
-                          & smask[:, None] & smask[None, :])
+                          & smask[:, None] & smask[None, :]
+                          & upper[:, None] & upper[None, :])
         if len(ii) > n_pairs:
             pick = rng.choice(len(ii), n_pairs, replace=False)
             ii, jj = ii[pick], jj[pick]
@@ -125,18 +284,100 @@ def make_relocation_graphs(key, src_pos, src_time, obs_time, obs_mask, sta_cart,
         pb[:len(jj)] = jj
         pmask[:len(ii)] = True
 
+        ot_g = np.asarray(obs_time)[sel][:, sta_sel]
+        om_gs = om_g[:, sta_sel] * sta_gmask[None, :, None]
+
         graphs.append(RelocGraph(
             src_pos=jnp.asarray(pos_g, jnp.float32),
             src_time=jnp.asarray(np.asarray(src_time)[sel], jnp.float32),
             src_mask=jnp.asarray(smask),
-            obs_time=jnp.asarray(np.asarray(obs_time)[sel], jnp.float32),
-            obs_mask=jnp.asarray(np.asarray(obs_mask)[sel], jnp.float32),
+            node_type=jnp.asarray(types_p, jnp.int32),
+            node_ids=jnp.asarray(sel, jnp.int32),
+            obs_time=jnp.asarray(ot_g, jnp.float32),
+            obs_mask=jnp.asarray(om_gs, jnp.float32),
             src_nbr=jnp.asarray(nbr_idx, jnp.int32),
             sta_nbr=jnp.asarray(sta_nbr, jnp.int32),
+            sta_sel=jnp.asarray(sta_sel, jnp.int32),
+            sta_mask=jnp.asarray(sta_gmask),
             pair_a=jnp.asarray(pa, jnp.int32), pair_b=jnp.asarray(pb, jnp.int32),
             pair_mask=jnp.asarray(pmask),
+            **_empty_dtcc(1),
         ))
     return graphs
+
+
+def _empty_dtcc(n_dt: int):
+    return dict(dt_a=jnp.zeros(n_dt, jnp.int32), dt_b=jnp.zeros(n_dt, jnp.int32),
+                dt_sta=jnp.zeros(n_dt, jnp.int32), dt_ph=jnp.zeros(n_dt, jnp.int32),
+                dt_w=jnp.zeros(n_dt, jnp.float32), dt_t=jnp.zeros(n_dt, jnp.float32),
+                dt_mask=jnp.zeros(n_dt, bool))
+
+
+def load_dtcc(path, sta_names):
+    """Parse a HypoDD ``dt.cc`` cross-correlation differential-time file
+    (ref train_double_difference_model.py:654-689). Returns dict of arrays:
+    src_a, src_b (catalog ids), sta, ph, w, dt."""
+    name_to_idx = {str(n): i for i, n in enumerate(np.asarray(sta_names))}
+    a, b, sta, ph, w, dt = [], [], [], [], [], []
+    cur = None
+    from pathlib import Path
+    for line in Path(path).read_text().splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "#":
+            cur = (int(parts[1]) - 1, int(parts[2]) - 1)
+            continue
+        if cur is None:
+            raise ValueError("dt.cc pick line before any '#' pair line")
+        if parts[0] not in name_to_idx:
+            raise ValueError(f"dt.cc station {parts[0]!r} not in stations")
+        if parts[3] not in ("P", "S"):
+            raise ValueError(f"dt.cc phase must be P or S, got {parts[3]!r}")
+        a.append(cur[0])
+        b.append(cur[1])
+        sta.append(name_to_idx[parts[0]])
+        dt.append(float(parts[1]))
+        w.append(float(parts[2]))
+        ph.append(0 if parts[3] == "P" else 1)
+    return {"src_a": np.asarray(a, np.int64), "src_b": np.asarray(b, np.int64),
+            "sta": np.asarray(sta, np.int64), "ph": np.asarray(ph, np.int64),
+            "w": np.asarray(w, np.float64), "dt": np.asarray(dt, np.float64)}
+
+
+def attach_dtcc(graph: RelocGraph, dtcc: dict, n_dt: int = 256):
+    """Map global dt.cc observations into one graph's local indices (both
+    sources and the station must be present; ref subgraph(...) :1012)."""
+    ids = np.asarray(graph.node_ids)
+    smask = np.asarray(graph.src_mask)
+    sta_sel = np.asarray(graph.sta_sel)
+    sta_gmask = np.asarray(graph.sta_mask)
+    src_local = -np.ones(int(max(ids.max() + 1, dtcc["src_a"].max() + 1,
+                                 dtcc["src_b"].max() + 1)), np.int64)
+    src_local[ids[smask]] = np.where(smask)[0]
+    sta_local = -np.ones(int(max(sta_sel.max() + 1, dtcc["sta"].max() + 1)),
+                         np.int64)
+    sta_local[sta_sel[sta_gmask]] = np.where(sta_gmask)[0]
+
+    la = src_local[dtcc["src_a"]]
+    lb = src_local[dtcc["src_b"]]
+    ls = sta_local[dtcc["sta"]]
+    ok = (la >= 0) & (lb >= 0) & (ls >= 0)
+    idx = np.where(ok)[0][:n_dt]
+    fill = _empty_dtcc(n_dt)
+    n = len(idx)
+    for name, src in (("dt_a", la), ("dt_b", lb), ("dt_sta", ls),
+                      ("dt_ph", dtcc["ph"]), ("dt_w", dtcc["w"]),
+                      ("dt_t", dtcc["dt"])):
+        arr = np.asarray(fill[name]).copy()
+        if n:
+            arr = np.zeros(n_dt, arr.dtype)
+            arr[:n] = src[idx]
+        fill[name] = jnp.asarray(arr)
+    m = np.zeros(n_dt, bool)
+    m[:n] = True
+    fill["dt_mask"] = jnp.asarray(m)
+    return graph._replace(**fill)
 
 
 class _DualConv(nn.Module):
@@ -183,7 +424,8 @@ def make_feature_tensor(graph: RelocGraph, sta_cart, resid, partials,
                         memory=None):
     """15-dim per-(source, station) inputs (ref :766-789); ``memory``
     optionally appends the EMA of previous predictions (Δx/Δt per source,
-    the reference's buffer_weight=0.98 memory input, ref :793-820)."""
+    the reference's buffer_weight=0.98 memory input, ref :793-820).
+    ``sta_cart`` here is the graph's station subset (see ``sta_sel``)."""
     off = (graph.src_pos[:, None, :] - sta_cart[None, :, :]) / scale_x
     off_n = jnp.linalg.norm(off, axis=-1, keepdims=True)
     pick_cnt = graph.obs_mask.sum(axis=(1, 2))
@@ -206,20 +448,24 @@ def make_feature_tensor(graph: RelocGraph, sta_cart, resid, partials,
 
 def make_dd_loss(model: GNNLocation, trv_from_cart, sta_cart,
                  w_dd: float = 0.8, w_abs: float = 0.1, w_sta: float = 0.1,
-                 use_memory: bool = False):
-    """Differentiable relocation loss through the travel-time surrogate."""
+                 w_dtcc: float = 0.8, use_memory: bool = False):
+    """Differentiable relocation loss through the travel-time surrogate.
+    Loss weights follow the reference (train_double_difference_model.py:
+    1040-1050): 0.8 double-difference (+0.8 dt.cc when observations are
+    attached), 0.2 split between absolute and station-mean."""
 
     def loss_fn(params, graph: RelocGraph, memory=None):
+        sc = sta_cart[graph.sta_sel]         # graph's observed-station subset
         resid, partials = build_catalog_data(
-            trv_from_cart, sta_cart, graph.src_pos, graph.src_time,
+            trv_from_cart, sc, graph.src_pos, graph.src_time,
             graph.obs_time, graph.obs_mask)
-        feat, prod_mask = make_feature_tensor(graph, sta_cart, resid, partials,
+        feat, prod_mask = make_feature_tensor(graph, sc, resid, partials,
                                               memory=memory)
         d_pos, d_t, sta_corr = model.apply(params, feat, graph.src_nbr,
                                            graph.sta_nbr, prod_mask)
         new_pos = graph.src_pos + d_pos * graph.src_mask[:, None]
         new_t = graph.src_time + d_t * graph.src_mask
-        pred = (trv_from_cart(sta_cart, new_pos) + new_t[:, None, None]
+        pred = (trv_from_cart(sc, new_pos) + new_t[:, None, None]
                 + sta_corr[None, :, :])
         r = (graph.obs_time - pred)
         m = graph.obs_mask
@@ -238,7 +484,22 @@ def make_dd_loss(model: GNNLocation, trv_from_cart, sta_cart,
                 * graph.pair_mask).sum() / jnp.maximum(graph.pair_mask.sum(), 1)
 
         total = w_dd * l_dd + w_abs * l_abs + w_sta * l_sta
-        return total, ({"dd": l_dd, "abs": l_abs, "sta": l_sta},
+
+        # optional dt.cc differential-time loss (ref :1010-1035): the model
+        # must reproduce the cross-correlation differential times between
+        # paired sources at a shared station/phase; S phase down-weighted 0.5
+        t_full = trv_from_cart(sc, new_pos)          # (S, n_sta_g, 2)
+        t_a = (t_full[graph.dt_a, graph.dt_sta, graph.dt_ph] + new_t[graph.dt_a]
+               + sta_corr[graph.dt_sta, graph.dt_ph])
+        t_b = (t_full[graph.dt_b, graph.dt_sta, graph.dt_ph] + new_t[graph.dt_b]
+               + sta_corr[graph.dt_sta, graph.dt_ph])
+        wp = jnp.where(graph.dt_ph == 1, 0.5, 1.0) * graph.dt_w * graph.dt_mask
+        l_dtcc = ((wp * jnp.abs(graph.dt_t - (t_a - t_b))).sum()
+                  / jnp.maximum(wp.sum(), 1e-6))
+        total = total + w_dtcc * l_dtcc * (graph.dt_mask.sum() > 0)
+
+        return total, ({"dd": l_dd, "abs": l_abs, "sta": l_sta,
+                        "dtcc": l_dtcc},
                        jax.lax.stop_gradient(d_pos), jax.lax.stop_gradient(d_t))
 
     return loss_fn
@@ -251,10 +512,11 @@ def train_graphdd(key, model: GNNLocation, trv_from_cart, sta_cart, graphs,
     ``use_memory`` feeds the EMA of previous (Δx, Δt) predictions back as an
     input (ref :793-820); buffers are per graph."""
     g0 = graphs[0]
-    resid, partials = build_catalog_data(trv_from_cart, sta_cart, g0.src_pos,
+    sc0 = sta_cart[g0.sta_sel]
+    resid, partials = build_catalog_data(trv_from_cart, sc0, g0.src_pos,
                                          g0.src_time, g0.obs_time, g0.obs_mask)
     mem0 = jnp.zeros((g0.src_pos.shape[0], 4)) if use_memory else None
-    feat, prod_mask = make_feature_tensor(g0, sta_cart, resid, partials, memory=mem0)
+    feat, prod_mask = make_feature_tensor(g0, sc0, resid, partials, memory=mem0)
     params = model.init(key, feat, g0.src_nbr, g0.sta_nbr, prod_mask)
     loss_fn = make_dd_loss(model, trv_from_cart, sta_cart, use_memory=use_memory)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
@@ -279,11 +541,13 @@ def train_graphdd(key, model: GNNLocation, trv_from_cart, sta_cart, graphs,
 
 
 def relocate(model: GNNLocation, params, trv_from_cart, sta_cart, graph: RelocGraph):
-    """Apply the trained model: returns (new_pos, new_t, sta_corr)."""
+    """Apply the trained model: returns (new_pos, new_t, sta_corr) —
+    ``sta_corr`` rows follow ``graph.sta_sel``."""
+    sc = sta_cart[graph.sta_sel]
     resid, partials = build_catalog_data(
-        trv_from_cart, sta_cart, graph.src_pos, graph.src_time,
+        trv_from_cart, sc, graph.src_pos, graph.src_time,
         graph.obs_time, graph.obs_mask)
-    feat, prod_mask = make_feature_tensor(graph, sta_cart, resid, partials)
+    feat, prod_mask = make_feature_tensor(graph, sc, resid, partials)
     d_pos, d_t, sta_corr = model.apply(params, feat, graph.src_nbr,
                                        graph.sta_nbr, prod_mask)
     return (graph.src_pos + d_pos * graph.src_mask[:, None],

@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--steps", type=int, default=5000)
     ap.add_argument("--graphs", type=int, default=20)
     ap.add_argument("--graph-size", type=int, default=32)
+    ap.add_argument("--sta-budget", type=int, default=None,
+                    help="cap the per-graph observed-station subset")
+    ap.add_argument("--dtcc", default=None,
+                    help="HypoDD dt.cc file of cross-correlation "
+                         "differential times (adds the 0.8-weight loss)")
     args = ap.parse_args()
 
     import jax
@@ -31,7 +36,8 @@ def main():
     from genie_tpu.config import load_config
     from genie_tpu.io import load_catalog
     from genie_tpu.relocation.graphdd import (
-        GNNLocation, make_relocation_graphs, relocate, train_graphdd)
+        GNNLocation, attach_dtcc, load_dtcc, make_relocation_graphs,
+        relocate, train_graphdd)
     from genie_tpu.workflow import domain_from_project, make_trv
     from genie_tpu.setup.project import load_project
 
@@ -58,7 +64,14 @@ def main():
     graphs = make_relocation_graphs(
         jax.random.PRNGKey(0), jnp.asarray(src_pos), jnp.asarray(src_time),
         jnp.asarray(obs), jnp.asarray(msk), ctx.sta_cart,
-        n_graphs=args.graphs, graph_size=min(args.graph_size, S))
+        n_graphs=args.graphs, graph_size=min(args.graph_size, S),
+        sta_budget=args.sta_budget)
+    if args.dtcc:
+        dtcc = load_dtcc(args.dtcc, pj["sta_names"])
+        graphs = [attach_dtcc(g, dtcc) for g in graphs]
+        n_att = sum(int(np.asarray(g.dt_mask).sum()) for g in graphs)
+        print(f"dt.cc: {len(dtcc['src_a'])} observations, "
+              f"{n_att} attached across {len(graphs)} graphs")
     model = GNNLocation()
     params, loss = train_graphdd(jax.random.PRNGKey(1), model, trv.from_cart,
                                  ctx.sta_cart, graphs, n_steps=args.steps)

@@ -95,3 +95,101 @@ def test_prune_and_isolation_helpers():
     omask = jnp.ones((3, 4, 2))
     keep = np.asarray(drop_isolated_sources(pos, smask, omask, min_picks=2))
     assert keep[0] and keep[1] and not keep[2]  # far source isolated
+
+
+def test_pick_budget_selection_is_exact():
+    """select_sources_by_pick_budget must match brute-force subset-sum on
+    random instances (the reference's cvxpy ILP, build_subsets_of_paired_
+    sources.py:496-519)."""
+    import itertools
+
+    from genie_tpu.relocation.graphdd import select_sources_by_pick_budget
+
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        n = int(rng.integers(1, 12))
+        cnt = rng.integers(0, 30, n)
+        budget = int(rng.integers(1, 120))
+        sel = select_sources_by_pick_budget(cnt, budget)
+        got = cnt[sel].sum()
+        assert got <= budget
+        best = 0
+        for bits in itertools.product([0, 1], repeat=n):
+            tot = int((cnt * bits).sum())
+            if tot <= budget:
+                best = max(best, tot)
+        assert got == best, (cnt, budget, sel)
+
+
+def test_relocation_graph_tiers_and_station_subset():
+    """3-tier sampling: seeds are tier 0, loss pairs connect only tier-0/1
+    nodes, and the station axis is the per-graph observed subset."""
+    tt, sta, true_pos, true_t, init_pos, init_t, obs, mask = make_cluster(
+        n_ev=40, n_sta=20)
+    # make some stations unobserved by zeroing their picks
+    mask[:, -4:, :] = 0.0
+    graphs = make_relocation_graphs(
+        jax.random.PRNGKey(2), jnp.asarray(init_pos), jnp.asarray(init_t),
+        jnp.asarray(obs), jnp.asarray(mask), jnp.asarray(sta),
+        n_graphs=2, graph_size=24, k_src=5, k_sta=5, n_seed=4,
+        max_pair_dist=20e3, sta_budget=16)
+    for g in graphs:
+        types = np.asarray(g.node_type)
+        smask = np.asarray(g.src_mask)
+        assert (types[smask] == 0).sum() == 4          # seeds survive
+        assert set(np.unique(types).tolist()) <= {0, 1, 2}
+        pm = np.asarray(g.pair_mask)
+        if pm.any():
+            assert np.all(types[np.asarray(g.pair_a)[pm]] <= 1)
+            assert np.all(types[np.asarray(g.pair_b)[pm]] <= 1)
+        # station subset excludes the all-zero stations
+        ssel = np.asarray(g.sta_sel)[np.asarray(g.sta_mask)]
+        assert np.all(ssel < 16)
+        assert np.asarray(g.obs_mask).shape[1] == 16   # sta_budget
+        # every unpadded source keeps at least one observation
+        om = np.asarray(g.obs_mask)
+        assert np.all(om[smask].sum(axis=(1, 2)) > 0)
+
+
+def test_dtcc_attach_and_loss(tmp_path):
+    """dt.cc parse → graph attach → the differential-time loss responds to
+    the observations (ref train_double_difference_model.py:654-689,
+    1010-1035)."""
+    from genie_tpu.relocation.graphdd import (attach_dtcc, load_dtcc,
+                                              make_dd_loss)
+
+    tt, sta, true_pos, true_t, init_pos, init_t, obs, mask = make_cluster()
+    graphs = make_relocation_graphs(
+        jax.random.PRNGKey(0), jnp.asarray(init_pos), jnp.asarray(init_t),
+        jnp.asarray(obs), jnp.asarray(mask), jnp.asarray(sta),
+        n_graphs=1, graph_size=24, k_src=6, k_sta=5, max_pair_dist=20e3)
+    g = graphs[0]
+    ids = np.asarray(g.node_ids)[np.asarray(g.src_mask)]
+    sta_names = np.array([f"S{i:02d}" for i in range(len(sta))])
+    sta_ok = int(np.asarray(g.sta_sel)[0])
+    # dt.cc uses 1-based event ids
+    txt = (f"# {ids[0]+1} {ids[1]+1} 0.0\n"
+           f"{sta_names[sta_ok]} 0.25 1.0 P\n"
+           f"{sta_names[sta_ok]} 0.40 0.5 S\n")
+    (tmp_path / "dt.cc").write_text(txt)
+    dtcc = load_dtcc(tmp_path / "dt.cc", sta_names)
+    assert len(dtcc["src_a"]) == 2 and dtcc["ph"].tolist() == [0, 1]
+
+    g2 = attach_dtcc(g, dtcc, n_dt=8)
+    assert int(np.asarray(g2.dt_mask).sum()) == 2
+
+    model = GNNLocation(n_rounds=2)
+    from genie_tpu.relocation.graphdd import (build_catalog_data,
+                                              make_feature_tensor)
+    sc = jnp.asarray(sta)[g2.sta_sel]
+    resid, partials = build_catalog_data(tt.from_cart, sc, g2.src_pos,
+                                         g2.src_time, g2.obs_time, g2.obs_mask)
+    feat, prod_mask = make_feature_tensor(g2, sc, resid, partials)
+    params = model.init(jax.random.PRNGKey(1), feat, g2.src_nbr, g2.sta_nbr,
+                        prod_mask)
+    loss_fn = make_dd_loss(model, tt.from_cart, jnp.asarray(sta))
+    total_with, (parts_with, _, _) = loss_fn(params, g2)
+    total_without, (parts_without, _, _) = loss_fn(params, g)
+    assert float(parts_with["dtcc"]) > 0.0
+    assert float(parts_without["dtcc"]) == 0.0 or not np.asarray(g.dt_mask).any()
+    assert float(total_with) != float(total_without)
