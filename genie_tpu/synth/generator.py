@@ -96,10 +96,34 @@ def _sample_times_from_rate(key, rate, n: int, T: float):
     return idx * dt_bin + jax.random.uniform(k2, (n,)) * dt_bin
 
 
+def surface_elevation(surface, xy):
+    """Bilinear surface elevation (cart z) at ``xy`` (..., 2).
+
+    ``surface`` = (elev (nx, ny), lo (2,), h (2,)) — a rasterized topography
+    grid in projected coordinates (see workflow.rasterize_surface)."""
+    elev, lo, h = surface
+    nx, ny = elev.shape
+    fx = jnp.clip((xy[..., 0] - lo[0]) / h[0], 0.0, nx - 1.001)
+    fy = jnp.clip((xy[..., 1] - lo[1]) / h[1], 0.0, ny - 1.001)
+    i0 = jnp.floor(fx).astype(jnp.int32)
+    j0 = jnp.floor(fy).astype(jnp.int32)
+    wx = fx - i0
+    wy = fy - j0
+    e00 = elev[i0, j0]
+    e10 = elev[i0 + 1, j0]
+    e01 = elev[i0, j0 + 1]
+    e11 = elev[i0 + 1, j0 + 1]
+    return ((1 - wx) * (1 - wy) * e00 + wx * (1 - wy) * e10
+            + (1 - wx) * wy * e01 + wx * wy * e11)
+
+
 def synthesize_timeline(key, cfg, sta_cart, trv_from_cart, scale_cart, offset_cart,
-                        depth_range, n_sta_real: int):
+                        depth_range, n_sta_real: int, surface=None):
     """Build one timeline. ``trv_from_cart(sta_cart, src_cart) -> (n_ev,
-    n_sta, 2)``; scale/offset define the (padded) Cartesian sampling box."""
+    n_sta, 2)``; scale/offset define the (padded) Cartesian sampling box.
+    ``surface``: optional rasterized topography (elev, lo, h); sampled event
+    depths are clamped below the local surface (ref train_GENIE_model.py
+    :581-584's topography clip of synthetic sources)."""
     E = cfg.max_events
     n_sta = sta_cart.shape[0]
     T = cfg.T
@@ -129,6 +153,10 @@ def synthesize_timeline(key, cfg, sta_cart, trv_from_cart, scale_cart, offset_ca
             is_aft & ev_mask,
             jnp.clip(ev_time[parent] + jax.random.gamma(keys[10], 1.0, (E,)) * 120.0, 0, T),
             ev_time)
+
+    if surface is not None:
+        elev = surface_elevation(surface, ev_pos[:, :2])
+        ev_pos = ev_pos.at[:, 2].set(jnp.minimum(ev_pos[:, 2], elev))
 
     # --- moveout truncation ----------------------------------------------
     d0, d1 = cfg.dist_range

@@ -54,10 +54,13 @@ class DomainContext(NamedTuple):
     # observed per-day station sets (n_subnet, n_sta) bool, or None: sampled
     # as training subsets with prob 1/2 (ref fixed_subnetworks, :910-935)
     subnetworks: Any = None
+    # rasterized topography (elev (nx,ny), lo (2,), h (2,)), or None —
+    # clamps synthetic event depths (ref train_GENIE_model.py:581-584)
+    surface: Any = None
 
 
 def build_domain_context(cfg: Config, sta_lla, sta_cart, grids_lla, grids_cart,
-                         trv_grids, subnetworks=None) -> DomainContext:
+                         trv_grids, subnetworks=None, surface=None) -> DomainContext:
     """Precompute grid-dependent tables (kNN graphs, time pointers, bipartite
     edge features) once per project."""
     n_grids = grids_cart.shape[0]
@@ -86,6 +89,8 @@ def build_domain_context(cfg: Config, sta_lla, sta_cart, grids_lla, grids_cart,
         offset_cart=jnp.asarray(cart_min, jnp.float32),
         subnetworks=(None if subnetworks is None
                      else jnp.asarray(subnetworks, bool)),
+        surface=(None if surface is None
+                 else tuple(jnp.asarray(a, jnp.float32) for a in surface)),
     )
 
 
@@ -176,7 +181,7 @@ def generate_batch(key, cfg: Config, ctx: DomainContext, trv_from_cart) -> Windo
         k1, cfg.synth, ctx.sta_cart, trv_from_cart,
         ctx.scale_cart, ctx.offset_cart,
         (ctx.offset_cart[2], ctx.offset_cart[2] + ctx.scale_cart[2]),
-        n_sta_real=n_sta,
+        n_sta_real=n_sta, surface=ctx.surface,
     )
     return make_windows(
         k2, cfg.synth, cfg.train, cfg.graph, tl, ctx.sta_cart,

@@ -153,6 +153,26 @@ def build_fmm_tables(cfg: Config, proj: Projection, sta_lla, out_dir,
     return shape, lo, h
 
 
+def rasterize_surface(proj, surface_lla, lo_xy, hi_xy, n: int = 64):
+    """Rasterize scattered (lat, lon, elev m) topography points onto an
+    (n, n) projected-coordinate grid: the synth generator's depth-clamp
+    input (``DomainContext.surface``). Returns (elev (n, n), lo (2,), h (2,))."""
+    from scipy.spatial import cKDTree
+
+    surf = np.asarray(surface_lla, np.float64)
+    pts = np.asarray(proj.to_cart_np(
+        np.concatenate((surf[:, :2], np.zeros((len(surf), 1))), axis=1)))
+    lo_xy = np.asarray(lo_xy, np.float64)[:2]
+    hi_xy = np.asarray(hi_xy, np.float64)[:2]
+    h = (hi_xy - lo_xy) / (n - 1)
+    ax = [lo_xy[i] + np.arange(n) * h[i] for i in range(2)]
+    gx, gy = np.meshgrid(*ax, indexing="ij")
+    j = cKDTree(pts[:, :2]).query(
+        np.stack((gx.ravel(), gy.ravel()), axis=-1))[1]
+    elev = surf[j, 2].reshape(n, n).astype(np.float32)
+    return elev, lo_xy.astype(np.float32), h.astype(np.float32)
+
+
 def make_trv(cfg: Config, proj: Projection, pinn_path=None):
     """Travel-time callable: PINN weights if available, else homogeneous
     fallback from the mean of the 1-D profile."""
@@ -184,8 +204,16 @@ def domain_from_project(root, cfg: Config, trv=None) -> tuple[DomainContext, obj
         compute_travel_times_chunked(trv.from_cart, sta_cart, g)
         for g in grids_cart
     ])
+    surface = None
+    if cfg.travel_time.use_topography:
+        surf_path = Path(root) / f"{cfg.region.name}_surface.npz"
+        if surf_path.exists():
+            surf_lla = np.load(surf_path)["lla"]
+            lo, shape, h = fmm_grid_box(cfg, proj)
+            hi = [lo[i] + (shape[i] - 1) * h for i in range(2)]
+            surface = rasterize_surface(proj, surf_lla, lo[:2], hi)
     ctx = build_domain_context(cfg, sta_lla, sta_cart, grids_lla, grids_cart,
-                               trv_grids)
+                               trv_grids, surface=surface)
     return ctx, proj, trv
 
 

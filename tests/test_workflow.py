@@ -133,3 +133,44 @@ def test_build_velocity_volume_types():
     above = zs > -2000.0
     assert np.all(vpt[..., above] == 343.0) and np.all(vst[..., above] == 343.0)
     assert np.all(vpt[..., ~above] > 1000.0)
+
+
+def test_topography_clamps_synthetic_event_depths():
+    """use_topography: rasterized surface feeds the generator's depth clamp
+    (ref train_GENIE_model.py:581-584)."""
+    from genie_tpu.geometry import Projection
+    from genie_tpu.synth.generator import surface_elevation, synthesize_timeline
+    from genie_tpu.workflow import rasterize_surface
+
+    proj = Projection.from_center((40.0, -124.0))
+    # tilted surface: deeper to the east
+    lats = np.linspace(39.9, 40.1, 8)
+    lons = np.linspace(-124.1, -123.9, 8)
+    gl = np.stack(np.meshgrid(lats, lons, indexing="ij"), -1).reshape(-1, 2)
+    elev = -3000.0 + 2.0e-1 * (gl[:, 1] + 124.0) * 111e3  # slope in lon
+    surf_lla = np.concatenate((gl, elev[:, None]), axis=1)
+    surface = rasterize_surface(proj, surf_lla, [-12e3, -12e3], [12e3, 12e3], n=16)
+
+    # bilinear lookup reproduces the plane away from edges
+    xy = jnp.asarray([[0.0, 0.0], [5e3, -5e3]])
+    e = surface_elevation(tuple(jnp.asarray(a) for a in surface), xy)
+    assert np.all(np.asarray(e) < 0.0)
+
+    cfg = small_cfg()
+    sta = jnp.asarray(np.random.default_rng(0).uniform(-8e3, 8e3, (6, 3)).astype(np.float32))
+    sta = sta.at[:, 2].set(0.0)
+
+    def trv(sta_cart, src_cart):
+        d = jnp.linalg.norm(src_cart[:, None] - sta_cart[None], axis=-1)
+        return jnp.stack((d / 6000.0, d / 3500.0), axis=-1)
+
+    scale = jnp.asarray([16e3, 16e3, 14e3], jnp.float32)
+    offset = jnp.asarray([-8e3, -8e3, -15e3], jnp.float32)
+    surf_j = tuple(jnp.asarray(a) for a in surface)
+    tl = jax.jit(lambda k: synthesize_timeline(
+        k, cfg.synth, sta, trv, scale, offset, (-15e3, -1e3),
+        n_sta_real=6, surface=surf_j))(jax.random.PRNGKey(0))
+    ev = np.asarray(tl.ev_pos_cart)
+    mask = np.asarray(tl.ev_mask)
+    es = np.asarray(surface_elevation(surf_j, jnp.asarray(ev[:, :2])))
+    assert np.all(ev[mask, 2] <= es[mask] + 1e-3)
