@@ -108,6 +108,15 @@ class InferencePipeline:
         self.mag = mag_model
         self.verbose = verbose
         self.n_grids = int(ctx.grids_cart.shape[0])
+        # subgraph (sparse product) mode: per-grid ε+kNN pair masks
+        # (ref process_utils.py:744-849); outside pairs contribute nothing
+        self._pair_masks = None
+        if cfg.graph.use_subgraph:
+            from genie_tpu.graphs.subgraph import pair_mask
+            self._pair_masks = [
+                pair_mask(ctx.grids_lla[g], ctx.sta_lla,
+                          cfg.graph.max_deg_offset, cfg.graph.k_nearest_pairs)
+                for g in range(self.n_grids)]
         self.set_station_mask(sta_ind_use)
         # detection query set: explicit > kmeans-packed n_query_grid > grid 0
         if x_query_grid is None and cfg.process.n_query_grid:
@@ -146,12 +155,19 @@ class InferencePipeline:
         self.sta_nbr, self.sta_nbr_valid = build_station_graph(
             self.ctx.sta_cart, self.cfg.graph.k_sta_edges, self.sta_mask)
 
+    def _apply_subgraph(self, feat, fmask, grid: int):
+        if self._pair_masks is None:
+            return feat, fmask
+        from genie_tpu.graphs.subgraph import apply_pair_mask
+        return apply_pair_mask(feat, fmask, self._pair_masks[grid])
+
     # -- stage 1: detection sweep -----------------------------------------
     def _sweep_window(self, tpick, ipick, phase, pick_mask, sta_mask, sta_nbr,
                       sta_nbr_valid, grid: int):
         feat, fmask = featurize_window(
             tpick, ipick, phase, pick_mask, self.ctx.trv_grids[grid],
             self.cfg.train.src_t_kernel, sta_mask)
+        feat, fmask = self._apply_subgraph(feat, fmask, grid)
         graph = _make_graph(self.ctx, grid, sta_mask, sta_nbr, sta_nbr_valid)
         y, x = self.model.apply(
             self.params, feat, fmask, graph, self.ctx.sta_cart,
@@ -278,6 +294,7 @@ class InferencePipeline:
         feat, fmask = featurize_window(
             tpick, ipick, phase, pick_mask, self.ctx.trv_grids[grid],
             self.cfg.train.src_t_kernel, self.sta_mask)
+        feat, fmask = self._apply_subgraph(feat, fmask, grid)
         graph = _make_graph(self.ctx, grid, self.sta_mask, self.sta_nbr,
                             self.sta_nbr_valid)
         xq_idx = build_query_attachment(self.ctx.grids_cart[grid], xq,
@@ -335,6 +352,7 @@ class InferencePipeline:
         feat, fmask = featurize_window(
             tpick, ipick, phase, pick_mask, self.ctx.trv_grids[grid],
             cfg.train.src_t_kernel, self.sta_mask)
+        feat, fmask = self._apply_subgraph(feat, fmask, grid)
         graph = _make_graph(self.ctx, grid, self.sta_mask, self.sta_nbr,
                             self.sta_nbr_valid)
         pair_idx, pair_valid = build_pair_table(

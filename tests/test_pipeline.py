@@ -111,3 +111,36 @@ def test_associate_and_locate_with_perfect_weights(monkeypatch):
     assert len(located) == 1
     assert np.linalg.norm(located[0].pos_cart - true_pos) < 5e3
     assert abs(located[0].time - true_t) < 1.0
+
+
+def test_use_subgraph_mode():
+    """use_subgraph: a wide ε-ball reproduces the dense sweep exactly; a
+    tight ε-ball (few nearest pairs) changes it (ref process_utils.py:744-849)."""
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    model = Detector(src_chunk=4)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(1)
+    n_sta = int(ctx.sta_cart.shape[0])
+    n_pick = cfg.graph.max_picks
+    tpick = jnp.asarray(np.sort(rng.uniform(0, 30, n_pick)).astype(np.float32))
+    ipick = jnp.asarray(rng.integers(0, n_sta, n_pick))
+    phase = jnp.asarray(rng.integers(0, 2, (n_pick, 1)).astype(np.float32))
+    pmask = jnp.ones(n_pick, bool)
+
+    def sweep(c):
+        pipe = InferencePipeline(model, state.params, c, ctx, tt.from_cart)
+        return np.asarray(pipe._sweep_batch_fn(
+            tpick[None], ipick[None], phase[None], pmask[None],
+            pipe.sta_mask, pipe.sta_nbr, pipe.sta_nbr_valid, 0))
+
+    dense = sweep(cfg)
+
+    cfg.graph.use_subgraph = True
+    cfg.graph.max_deg_offset = 180.0  # everything inside: must be identical
+    assert np.allclose(sweep(cfg), dense, atol=1e-6)
+
+    cfg.graph.max_deg_offset = 1e-6   # only k nearest pairs survive
+    cfg.graph.k_nearest_pairs = 2
+    assert not np.allclose(sweep(cfg), dense, atol=1e-4)
