@@ -169,7 +169,12 @@ def main():
     xval = eval_set(h_stas, h_srcs, h_ts,
                     f"cross-val ({len(h_stas)} held-out stations)")
 
+    # R² samples must stay inside the FMM volume's depth extent — the
+    # velocity head is unconstrained outside it (z normalized by the
+    # *horizontal* scale L spans far beyond the ~50 km deep volume)
     src_r2 = rng.uniform(-0.5, 0.5, (20000, 3)).astype(np.float32)
+    zn = (origin[2] - center[2]) / L, (origin[2] + extent[2] - center[2]) / L
+    src_r2[:, 2] = rng.uniform(zn[0], zn[1], 20000).astype(np.float32)
     z_phys = src_r2[:, 2] * L + center[2]
     v_true = np.stack((np.interp(z_phys, cfg.velocity.depths, cfg.velocity.vp),
                        np.interp(z_phys, cfg.velocity.depths, cfg.velocity.vs)),
