@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""NC BSSA day processing + scoring: the production counterpart of
+``nc_train.py`` (reference ``process_continuous_days.py`` applied to the
+"100 continuous days" benchmark).
+
+Loads the trained params (``run dir/params.pkl``), rebuilds the exact
+training domain (cached kmeans grids + FMM-interpolated grid travel times +
+PINN travel-time surrogate), then per day:
+
+  * applies the day's observed subnetwork (``sta_ind_use``),
+  * ensemble detection sweep over all grids onto the 10k-node query grid,
+  * peaks -> clustering -> refinement -> association -> location -> QC,
+  * scores vs the USGS M>1 catalog and the reference GENIE's own
+    detections (``srcs_trv``) with the same matcher.
+
+The stacked sweep series is cached per day (float16) so re-scoring at other
+thresholds skips the expensive sweep:
+
+    python scripts/nc_process.py --run projects/NC_EHZ/run2 \
+        --days 2017_274 --thresh 0.2 --cache-sweep
+"""
+
+import argparse
+import json
+import pickle
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from nc_common import PROJECT_ROOT, list_days, load_day, load_network, nc_config, nc_projection
+
+
+def build_runtime(run_dir: Path, n_grids=None, n_src=None, thresh=0.2,
+                  n_query=None):
+    """Reconstruct the training domain for inference (same caches as
+    nc_train.py) and build the inference pipeline config."""
+    import jax.numpy as jnp
+    from genie_tpu.config import load_config
+    from genie_tpu.train.trainer import build_domain_context
+    from nc_train import build_grids, interp_fmm_at
+    from genie_tpu.workflow import make_trv as _make_trv
+
+    train_cfg = load_config(run_dir / "config.yaml")
+    n_grids = n_grids or train_cfg.graph.n_grids
+    n_src = n_src or train_cfg.graph.n_spatial_nodes
+    cfg, sta_lla = nc_config(n_src=n_src, n_grids=n_grids,
+                             n_batch=train_cfg.train.n_batch)
+    cfg.model = train_cfg.model
+    cfg.process.thresh = thresh
+    cfg.process.thresh_assoc = thresh
+    cfg.process.min_required_picks = 6
+    cfg.process.min_required_sta = 4
+    if n_query is not None:
+        cfg.process.n_query_grid = n_query
+
+    proj = nc_projection(cfg)
+    sta_cart = np.asarray(proj.to_cart_np(sta_lla), np.float32)
+    pinn_path = PROJECT_ROOT / "Grids" / "pinn_nc.pkl"
+    trv = _make_trv(cfg, proj, pinn_path=pinn_path)
+    print(f"travel times: {type(trv).__name__}", flush=True)
+
+    grids_lla, grids_cart = build_grids(
+        cfg, proj, n_grids, n_src, PROJECT_ROOT / "Grids" / f"grids_{n_src}.npz")
+    tt_dir = PROJECT_ROOT / "TravelTimeData"
+    tg_cache = PROJECT_ROOT / "Grids" / f"trv_grids_{n_src}_{n_grids}_fmm.npy"
+    if tg_cache.exists():
+        trv_grids = np.load(tg_cache)
+    else:
+        trv_grids = np.stack([
+            interp_fmm_at(grids_cart[g], tt_dir, len(sta_cart))
+            for g in range(n_grids)])
+        np.save(tg_cache, trv_grids)
+
+    ctx = build_domain_context(cfg, sta_lla.astype(np.float32), sta_cart,
+                               grids_lla.astype(np.float32), grids_cart,
+                               trv_grids)
+    return cfg, ctx, proj, trv, sta_lla
+
+
+def score(proj, events, cat, ref_srcs, t_end, sig_x=25e3, sig_t=15.0):
+    from genie_tpu.calibration.corrections import matched_catalog_stats
+
+    def to_cart4(lla_t):
+        c = np.asarray(proj.to_cart_np(lla_t[:, :3]))
+        return np.concatenate((c, lla_t[:, 3:4]), axis=1)
+
+    det_c = np.array([[*ev.pos_cart, ev.time] for ev in events]).reshape(-1, 4)
+    cat_keep = cat[cat[:, 3] < t_end]
+    cat_c = to_cart4(cat_keep[:, :4])
+    stats = matched_catalog_stats(det_c, cat_c, sig_x=sig_x, sig_t=sig_t,
+                                  mags_ref=cat_keep[:, 4])
+    ref_keep = ref_srcs[ref_srcs[:, 3] < t_end]
+    ref_stats = matched_catalog_stats(to_cart4(ref_keep), cat_c,
+                                      sig_x=sig_x, sig_t=sig_t)
+    return {
+        "n_usgs": int(len(cat_c)),
+        "n_detected": int(stats["n_detected"]),
+        "n_matched": int(stats["n_matched"]),
+        "detection_rate": round(float(stats["detection_rate"]), 3),
+        "epi_err_m": stats.get("residual_xy_mean"),
+        "t_err_s": stats.get("residual_t_mean"),
+        "ref_n_detected": int(ref_stats["n_detected"]),
+        "ref_n_matched": int(ref_stats["n_matched"]),
+        "ref_detection_rate": round(float(ref_stats["detection_rate"]), 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", default=str(PROJECT_ROOT / "run2"))
+    ap.add_argument("--days", nargs="+", default=["2017_274"])
+    ap.add_argument("--thresh", type=float, nargs="+", default=[0.2])
+    ap.add_argument("--n-query", type=int, default=None)
+    ap.add_argument("--min-prob", type=float, default=0.3)
+    ap.add_argument("--t-end", type=float, default=86400.0)
+    ap.add_argument("--cache-sweep", action="store_true",
+                    help="cache the stacked day series (float16) in the run dir")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from genie_tpu.infer.pipeline import InferencePipeline
+    from genie_tpu.infer.cluster import split_time_groups
+    from genie_tpu.models.detector import Detector
+
+    run_dir = Path(args.run)
+    blob = pickle.loads((run_dir / "params.pkl").read_bytes())
+    params = blob["params"] if isinstance(blob, dict) and "params" in blob else blob
+    print(f"params from {run_dir} (step {blob.get('step', '?') if isinstance(blob, dict) else '?'})",
+          flush=True)
+
+    cfg, ctx, proj, trv, sta_lla = build_runtime(
+        run_dir, thresh=min(args.thresh), n_query=args.n_query)
+    model_inf = Detector(
+        src_chunk=16, normalize_readin=True, via_matmul=True,
+        scale_rel=cfg.model.scale_rel, kernel_sig_t=cfg.model.kernel_sig_t,
+        use_phase_types=cfg.model.use_phase_types,
+        use_absolute_pos=cfg.model.use_absolute_pos,
+        use_updated_model_definition=cfg.model.use_updated_model_definition)
+    pipe = InferencePipeline(model_inf, params, cfg, ctx, trv.from_cart,
+                             verbose=True)
+
+    all_results = {}
+    for day in args.days:
+        pick_t, pick_sta, pick_ph, prob, ind_use, cat, ref_srcs = load_day(day)
+        keep = prob >= args.min_prob
+        pick_t, pick_sta, pick_ph = pick_t[keep], pick_sta[keep], pick_ph[keep]
+        pipe.set_station_mask(ind_use)
+        print(f"--- {day}: {len(pick_t)} picks >= p{args.min_prob}, "
+              f"{len(ind_use)} stations", flush=True)
+
+        cache_f = run_dir / f"sweep_{day}.npz"
+        t0 = time.time()
+        if cache_f.exists():
+            z = np.load(cache_f)
+            times_s, series = z["times_s"], z["series"].astype(np.float32)
+            print(f"sweep from cache {cache_f}", flush=True)
+        else:
+            times_s, series = pipe.detection_sweep(
+                pick_t.astype(np.float32), pick_sta, pick_ph.astype(np.float32),
+                0.0, args.t_end)
+            if args.cache_sweep:
+                np.savez_compressed(cache_f, times_s=times_s,
+                                    series=series.astype(np.float16))
+        t_sweep = time.time() - t0
+        print(f"sweep {t_sweep:.0f}s; series max {series.max():.3f} "
+              f"p99.9 {np.percentile(series, 99.9):.3f}", flush=True)
+
+        day_res = {}
+        for th in args.thresh:
+            t1 = time.time()
+            cfg.process.thresh = th
+            cfg.process.thresh_assoc = th
+            cands, vals = pipe.extract_candidates(times_s, series, thresh=th)
+            srcs, svals = pipe.cluster_candidates(cands, vals)
+            print(f"[th={th}] {len(cands)} peaks -> {len(srcs)} clustered",
+                  flush=True)
+            events = []
+            if len(srcs):
+                srcs, svals = pipe.refine_sources(
+                    pick_t.astype(np.float32), pick_sta,
+                    pick_ph.astype(np.float32), srcs, svals)
+                for g in split_time_groups(srcs[:, 3], cfg.process.break_win):
+                    g = g[np.argsort(srcs[g, 3])]
+                    start = 0
+                    while start < len(g):
+                        span_end = srcs[g[start], 3] + cfg.model.t_win
+                        sub = g[(srcs[g, 3] >= srcs[g[start], 3])
+                                & (srcs[g, 3] <= span_end)]
+                        events.extend(pipe.associate(
+                            pick_t.astype(np.float32), pick_sta,
+                            pick_ph.astype(np.float32),
+                            np.concatenate((srcs[sub, :3], srcs[sub, 3:4]), axis=1)))
+                        start += len(sub)
+                events = pipe.dedup(pipe.locate(events, pick_t.astype(np.float32),
+                                                pick_sta))
+            res = score(proj, events, cat, ref_srcs, args.t_end)
+            res["process_time_s"] = round(t_sweep + time.time() - t1, 1)
+            res["thresh"] = th
+            day_res[str(th)] = res
+            print(day, th, res, flush=True)
+        all_results[day] = day_res
+
+    print(json.dumps(all_results), flush=True)
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps(all_results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
