@@ -93,6 +93,126 @@ def kmeans_packing_fit_sources(key, ref_sources_cart, scale_x, offset_x,
     return v
 
 
+def gaussian_kde_sampler(points, bandwidth: float):
+    """Sampler closure drawing from a Gaussian KDE over ``points`` (n, d) —
+    equivalent to fitting sklearn ``KernelDensity`` and calling ``.sample``
+    (the reference's m_density, utils.py:240-301 + its callers): pick a
+    random support point, add N(0, bw)."""
+    pts = jnp.asarray(points, jnp.float32)
+
+    def sample(key, n: int):
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (n,), 0, pts.shape[0])
+        return pts[idx] + bandwidth * jax.random.normal(k2, (n, pts.shape[1]))
+
+    return sample
+
+
+def kmeans_packing_with_density(key, density_sample, scale_x, offset_x,
+                                n_clusters: int, to_cart, weight=None,
+                                frac: float = 0.75, n_batch: int = 3000,
+                                n_steps: int = 1000, lr: float = 0.01):
+    """Density-weighted node packing
+    (ref ``kmeans_packing_weight_vector_with_density``, utils.py:240-301):
+    ``frac`` of each Lloyd batch is drawn from ``density_sample(key, n) ->
+    (n, 2)`` lat/lon samples (z uniform over the depth range), the rest
+    uniform over the box; out-of-box density draws are resampled uniformly.
+    """
+    scale_x = jnp.asarray(scale_x, jnp.float32).reshape(1, -1)
+    offset_x = jnp.asarray(offset_x, jnp.float32).reshape(1, -1)
+    w = (jnp.ones((1, 3), jnp.float32) if weight is None
+         else jnp.asarray(weight, jnp.float32).reshape(1, -1))
+    n_dense = int(frac * n_batch)
+
+    def mixture(k2, n, n_d):
+        k_a, k_b, k_c = jax.random.split(k2, 3)
+        xy = density_sample(k_a, n_d)
+        z = (jax.random.uniform(k_b, (n_d, 1)) * scale_x[:, 2:3]
+             + offset_x[:, 2:3])
+        dense = jnp.concatenate((xy, z), axis=1)
+        uni = jax.random.uniform(k_c, (n, 3)) * scale_x + offset_x
+        # out-of-box density draws fall back to the uniform draw (ref's
+        # iremove resampling)
+        lo, hi = offset_x[0, :2], offset_x[0, :2] + scale_x[0, :2]
+        ok = jnp.all((dense[:, :2] >= lo) & (dense[:, :2] <= hi), axis=1)
+        out = uni.at[:n_d].set(jnp.where(ok[:, None], dense, uni[:n_d]))
+        return out
+
+    k0, key = jax.random.split(key)
+    v = mixture(k0, n_clusters, int(frac * n_clusters))
+
+    def step(v, k2):
+        x = mixture(k2, n_batch, n_dense)
+        idx, _ = knn(to_cart(v) * w, to_cart(x) * w, 1)
+        ip = idx[:, 0]
+        update = segment_mean(x - v[ip], ip, n_clusters)
+        return v + lr * update, None
+
+    keys = jax.random.split(key, n_steps)
+    v, _ = jax.lax.scan(step, v, keys)
+    return v
+
+
+def kmeans_packing_spherical(key, scale_x, offset_x, n_clusters: int,
+                             to_cart, weight=(1.0, 1.0, 2.0),
+                             n_batch: int = 3000, n_steps: int = 1000,
+                             lr: float = 0.01, izero: float = 0.65):
+    """Spherical node packing (ref ``kmeans_packing_spherical``,
+    utils.py:342-430): Lloyd batches are randomly-rotated Fibonacci
+    lattices on the unit sphere mapped to lat/lon, with depths resampled
+    toward the surface by stacked Beta(1,3)/Beta(1,12) draws (the
+    reference's ``izero`` shallow bias). Runs jitted on device."""
+    from genie_tpu.geometry import ecef2lla, lla2ecef
+
+    scale_x = jnp.asarray(scale_x, jnp.float32).reshape(1, -1)
+    offset_x = jnp.asarray(offset_x, jnp.float32).reshape(1, -1)
+    w = jnp.asarray(weight, jnp.float32).reshape(1, -1)
+
+    # static unit-sphere Fibonacci lattice (n_batch points)
+    def lattice(n):
+        i = np.arange(n) + 0.5
+        phi = np.arccos(1 - 2 * i / n)
+        golden = 2 * np.pi / ((1 + 5**0.5) / 2)
+        th = golden * (np.arange(n) + 0.5)
+        return jnp.asarray(np.stack((np.cos(th) * np.sin(phi),
+                                     np.sin(th) * np.sin(phi),
+                                     np.cos(phi)), axis=1), jnp.float32)
+
+    def nodes(k2, base):
+        """Random-rotated lattice → (lat, lon) + beta-biased depths."""
+        ka, kb, kc, kd, ke = jax.random.split(k2, 5)
+        ang = jax.random.uniform(ka, (3,)) * 2 * jnp.pi
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        rx = jnp.array([[1, 0, 0], [0, ca[0], -sa[0]], [0, sa[0], ca[0]]])
+        ry = jnp.array([[ca[1], 0, sa[1]], [0, 1, 0], [-sa[1], 0, ca[1]]])
+        rz = jnp.array([[ca[2], -sa[2], 0], [sa[2], ca[2], 0], [0, 0, 1]])
+        xyz = base @ (rx @ ry @ rz).T
+        lla = ecef2lla(xyz, a=1.0, e=0.0)
+        n = base.shape[0]
+        z = jax.random.uniform(kb, (n,)) * scale_x[0, 2] + offset_x[0, 2]
+        for kk, b in ((kc, 3.0), (kd, 12.0)):
+            pick = jax.random.uniform(jax.random.fold_in(kk, 1), (n,)) < izero
+            zb = ((1.0 - jax.random.beta(kk, 1.0, b, (n,)))
+                  * scale_x[0, 2] + offset_x[0, 2])
+            z = jnp.where(pick, zb, z)
+        return jnp.concatenate((lla[:, :2], z[:, None]), axis=1)
+
+    base = lattice(n_batch)
+    k0, key = jax.random.split(key)
+    v = nodes(k0, lattice(n_clusters))
+
+    def step(v, k2):
+        x = nodes(k2, base)
+        idx, _ = knn(to_cart(v) * w, to_cart(x) * w, 1)
+        ip = idx[:, 0]
+        update = segment_mean(x - v[ip], ip, n_clusters)
+        return v + lr * update, None
+
+    keys = jax.random.split(key, n_steps)
+    v, _ = jax.lax.scan(step, v, keys)
+    return v
+
+
 def fibonacci_sphere_packing(n: int, radius: float = 6371e3):
     """Fibonacci-lattice points on a sphere (the reference's spherical
     packing initialization, utils.py:342-430)."""

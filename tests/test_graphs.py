@@ -72,3 +72,63 @@ def test_kmeans_packing_covers_domain():
     # nodes stay in (near) the domain and spread over it
     assert v[:, 0].min() > 39.0 and v[:, 0].max() < 41.5
     assert v[:, 0].std() > 0.3 and v[:, 1].std() > 0.3
+
+
+def test_kmeans_packing_with_density():
+    """Density-weighted packing concentrates nodes near the KDE support
+    (ref utils.py:240-301)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from genie_tpu.graphs.build import (gaussian_kde_sampler,
+                                        kmeans_packing_with_density)
+
+    scale = np.array([2.0, 2.0, 30e3])
+    offset = np.array([39.0, -124.0, -30e3])
+    # tight event cluster at the box center
+    ev = np.stack((np.full(50, 40.0), np.full(50, -123.0)), 1)
+    ev += np.random.default_rng(0).normal(0, 0.03, ev.shape)
+    sampler = gaussian_kde_sampler(ev, bandwidth=0.03)
+
+    def to_cart(x):
+        return jnp.stack((x[..., 1] * 90e3, x[..., 0] * 111e3, x[..., 2]), -1)
+
+    v = kmeans_packing_with_density(
+        jax.random.PRNGKey(0), sampler, scale, offset, 200, to_cart,
+        frac=0.75, n_steps=120, n_batch=500)
+    v = np.asarray(v)
+    assert v.shape == (200, 3)
+    d = np.hypot(v[:, 0] - 40.0, v[:, 1] + 123.0)
+    # most nodes pulled into the cluster, but background coverage remains
+    assert (d < 0.2).mean() > 0.4
+    assert (d > 0.5).sum() > 5
+    assert np.all((v[:, 2] >= -31e3) & (v[:, 2] <= 1e3))
+
+
+def test_kmeans_packing_spherical():
+    """Spherical packing: global lat/lon coverage + beta-biased shallow
+    depths (ref utils.py:342-430)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from genie_tpu.geometry import lla2ecef
+    from genie_tpu.graphs.build import kmeans_packing_spherical
+
+    scale = np.array([0.0, 0.0, 100e3])
+    offset = np.array([0.0, 0.0, -100e3])
+
+    def to_cart(x):
+        return lla2ecef(jnp.concatenate(
+            (x[..., :2], jnp.zeros_like(x[..., 2:])), -1)) / 6371e3 \
+            + jnp.concatenate((jnp.zeros_like(x[..., :2]), x[..., 2:]), -1) / 100e3
+
+    v = np.asarray(kmeans_packing_spherical(
+        jax.random.PRNGKey(1), scale, offset, 300, to_cart,
+        n_steps=60, n_batch=600))
+    assert v.shape == (300, 3)
+    assert np.all(np.abs(v[:, 0]) <= 90.5) and np.all(np.abs(v[:, 1]) <= 180.5)
+    # both hemispheres covered
+    assert (v[:, 0] > 20).sum() > 30 and (v[:, 0] < -20).sum() > 30
+    # beta shallow bias: median depth well above the uniform midpoint
+    assert np.median(v[:, 2]) > -50e3
+    assert np.all((v[:, 2] >= -101e3) & (v[:, 2] <= 1e3))
