@@ -150,6 +150,18 @@ class SyntheticConfig:
     use_extra_nearby_moveouts: bool = True
     use_shallow_sources: bool = False
     use_aftershocks: bool = True  # 10% clustered events, ref :567-579
+    # reference-catalog spatial density sampling (ref :551-557, :92-97):
+    # replace this fraction of uniform event positions with blurred draws
+    # from a reference catalog (requires ref sources in the domain context)
+    use_reference_spatial_density: bool = False
+    frac_reference_catalog: float = 0.8
+    spatial_sigma: float = 20000.0
+    # spatially-correlated travel-time noise (ref :331-481, :642-652):
+    # (rel_factor1, rel_factor2, bias_factor1, bias_factor2,
+    #  correlation_scale_distance m, softplus_beta, softplus_shift)
+    use_correlated_noise: bool = False
+    corr_noise_params: tuple = (0.019731, 0.049616, 0.006930, 0.037159,
+                                224205.7, 0.531071, -24.559947)
     max_events: int = 128   # static pad: events per T window
     n_false_max: int = 4096  # static pad: false picks per T window
 

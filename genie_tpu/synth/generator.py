@@ -118,12 +118,22 @@ def surface_elevation(surface, xy):
 
 
 def synthesize_timeline(key, cfg, sta_cart, trv_from_cart, scale_cart, offset_cart,
-                        depth_range, n_sta_real: int, surface=None):
+                        depth_range, n_sta_real: int, surface=None,
+                        ref_srcs_cart=None, corr_chol=None):
     """Build one timeline. ``trv_from_cart(sta_cart, src_cart) -> (n_ev,
     n_sta, 2)``; scale/offset define the (padded) Cartesian sampling box.
     ``surface``: optional rasterized topography (elev, lo, h); sampled event
     depths are clamped below the local surface (ref train_GENIE_model.py
-    :581-584's topography clip of synthetic sources)."""
+    :581-584's topography clip of synthetic sources).
+    ``ref_srcs_cart``: optional (n_ref, 3) reference-catalog positions —
+    with ``cfg.use_reference_spatial_density``, ``frac_reference_catalog``
+    of events are blurred draws from it (ref :551-557).
+    ``corr_chol``: optional (n_sta, n_sta) Cholesky factor of the
+    station-distance covariance — with ``cfg.use_correlated_noise``,
+    arrival noise is spatially correlated across stations with
+    travel-time-proportional softplus scales and a per-event bias factor
+    (ref simulate_travel_times / sample_correlated_travel_time_noise,
+    :331-481)."""
     E = cfg.max_events
     n_sta = sta_cart.shape[0]
     T = cfg.T
@@ -137,6 +147,19 @@ def synthesize_timeline(key, cfg, sta_cart, trv_from_cart, scale_cart, offset_ca
     ev_mask = jnp.arange(E) < n_ev
     ev_time = _sample_times_from_rate(keys[3], rate, E, T)
     ev_pos = jax.random.uniform(keys[4], (E, 3)) * scale_cart + offset_cart
+    if ref_srcs_cart is not None and cfg.use_reference_spatial_density:
+        # blurred reference-catalog draws replace a fraction of positions
+        # (ref :551-557); out-of-range depths resample uniformly
+        kr = jax.random.fold_in(keys[4], 1)
+        k_a, k_b, k_c, k_d = jax.random.split(kr, 4)
+        idx = jax.random.randint(k_a, (E,), 0, ref_srcs_cart.shape[0])
+        cand = ref_srcs_cart[idx] + cfg.spatial_sigma * jax.random.normal(k_b, (E, 3))
+        z_bad = (cand[:, 2] < depth_range[0]) | (cand[:, 2] > depth_range[1])
+        z_uni = (jax.random.uniform(k_c, (E,))
+                 * (depth_range[1] - depth_range[0]) + depth_range[0])
+        cand = cand.at[:, 2].set(jnp.where(z_bad, z_uni, cand[:, 2]))
+        take = jax.random.uniform(k_d, (E,)) < cfg.frac_reference_catalog
+        ev_pos = jnp.where(take[:, None], cand, ev_pos)
     if cfg.use_shallow_sources:
         g = jax.random.gamma(keys[5], 1.5, (E,)) * 6e3
         ev_pos = ev_pos.at[:, 2].set(jnp.clip(depth_range[1] - g, depth_range[0], depth_range[1]))
@@ -184,12 +207,29 @@ def synthesize_timeline(key, cfg, sta_cart, trv_from_cart, scale_cart, offset_ca
 
     # --- arrival synthesis -----------------------------------------------
     trv = trv_from_cart(sta_cart, ev_pos)                           # (E, n_sta, 2)
-    # correlated P/S systematic velocity bias per event (:679-697)
-    zb = jax.random.normal(keys[15], (E, 2))
-    corr = 0.5 * (zb[:, 0:1] + zb[:, 1:2])
-    bias = cfg.total_bias * 0.5 * (zb + corr)                       # (E, 2)
-    trv = trv * (1.0 + bias[:, None, :])
-    noise = jax.random.laplace(keys[16], (E, n_sta, 2)) * cfg.sig_t * trv
+    if corr_chol is not None and cfg.use_correlated_noise:
+        # spatially-correlated noise (ref :417-481): per-event bias factor
+        # on the moveout, per-station softplus scales ∝ travel time, and a
+        # station-distance Cholesky coloring the Gaussian draws
+        rel1, rel2, b1, b2, _, sp_beta, sp_shift = cfg.corr_noise_params
+        kc = jax.random.fold_in(keys[15], 7)
+        k_a, k_b, k_c = jax.random.split(kc, 3)
+        bias_val = jax.random.uniform(k_a, (E, 1, 2),
+                                      minval=1.0 - b1, maxval=1.0 + b2)
+        std_val = jax.random.uniform(k_b, (E, 1, 2),
+                                     minval=rel1, maxval=rel1 + rel2)
+        trv = trv * bias_val
+        beta = 10.0 ** sp_beta
+        scale = jax.nn.softplus(beta * (trv * std_val + sp_shift)) / beta
+        z = jax.random.normal(k_c, (E, n_sta, 2))
+        noise = scale * jnp.einsum("st,etp->esp", corr_chol, z)
+    else:
+        # correlated P/S systematic velocity bias per event (:679-697)
+        zb = jax.random.normal(keys[15], (E, 2))
+        corr = 0.5 * (zb[:, 0:1] + zb[:, 1:2])
+        bias = cfg.total_bias * 0.5 * (zb + corr)                   # (E, 2)
+        trv = trv * (1.0 + bias[:, None, :])
+        noise = jax.random.laplace(keys[16], (E, n_sta, 2)) * cfg.sig_t * trv
     t_arr = ev_time[:, None, None] + trv + noise
 
     # excess-noise picks lose their positive association label (:782-813)

@@ -57,10 +57,27 @@ class DomainContext(NamedTuple):
     # rasterized topography (elev (nx,ny), lo (2,), h (2,)), or None —
     # clamps synthetic event depths (ref train_GENIE_model.py:581-584)
     surface: Any = None
+    # (n_ref, 3) reference-catalog cart positions for density sampling
+    # (ref :551-557), or None
+    ref_srcs_cart: Any = None
+    # (n_sta, n_sta) Cholesky factor of the station-distance covariance for
+    # correlated travel-time noise (ref :331-481), or None
+    corr_chol: Any = None
+
+
+def _corr_chol(cfg: Config, sta_cart):
+    """Cholesky factor of the squared-exponential station-distance
+    covariance (ref train_GENIE_model.py:366-376)."""
+    d = np.linalg.norm(np.asarray(sta_cart, np.float64)[:, None]
+                       - np.asarray(sta_cart, np.float64)[None], axis=-1)
+    ell = float(cfg.synth.corr_noise_params[4])
+    cov = np.exp(-0.5 * (d / ell) ** 2) + 1e-6 * np.eye(len(d))
+    return jnp.asarray(np.linalg.cholesky(cov), jnp.float32)
 
 
 def build_domain_context(cfg: Config, sta_lla, sta_cart, grids_lla, grids_cart,
-                         trv_grids, subnetworks=None, surface=None) -> DomainContext:
+                         trv_grids, subnetworks=None, surface=None,
+                         ref_srcs_cart=None) -> DomainContext:
     """Precompute grid-dependent tables (kNN graphs, time pointers, bipartite
     edge features) once per project."""
     n_grids = grids_cart.shape[0]
@@ -91,6 +108,10 @@ def build_domain_context(cfg: Config, sta_lla, sta_cart, grids_lla, grids_cart,
                      else jnp.asarray(subnetworks, bool)),
         surface=(None if surface is None
                  else tuple(jnp.asarray(a, jnp.float32) for a in surface)),
+        ref_srcs_cart=(None if ref_srcs_cart is None
+                       else jnp.asarray(ref_srcs_cart, jnp.float32)),
+        corr_chol=(_corr_chol(cfg, sta_cart)
+                   if cfg.synth.use_correlated_noise else None),
     )
 
 
@@ -182,6 +203,7 @@ def generate_batch(key, cfg: Config, ctx: DomainContext, trv_from_cart) -> Windo
         ctx.scale_cart, ctx.offset_cart,
         (ctx.offset_cart[2], ctx.offset_cart[2] + ctx.scale_cart[2]),
         n_sta_real=n_sta, surface=ctx.surface,
+        ref_srcs_cart=ctx.ref_srcs_cart, corr_chol=ctx.corr_chol,
     )
     return make_windows(
         k2, cfg.synth, cfg.train, cfg.graph, tl, ctx.sta_cart,

@@ -138,3 +138,73 @@ def test_featurization_precision_at_high_station_index():
         jnp.ones(n_sta, bool))
     f = np.asarray(feat)
     assert (f[s_true, stas, 0] > 0.99).all()
+
+
+def test_reference_density_event_sampling():
+    """use_reference_spatial_density: blurred reference-catalog draws replace
+    most event positions (ref train_GENIE_model.py:551-557)."""
+    from genie_tpu.synth.generator import synthesize_timeline
+
+    cfg = tiny_config()
+    cfg.synth.use_reference_spatial_density = True
+    cfg.synth.frac_reference_catalog = 1.0
+    cfg.synth.spatial_sigma = 500.0
+    ctx, tt = tiny_domain(cfg)
+    ref = np.array([[30e3, -20e3, -8e3]], np.float32)  # one tight cluster
+    scale = ctx.scale_cart
+    offset = ctx.offset_cart
+    tl = jax.jit(lambda k: synthesize_timeline(
+        k, cfg.synth, ctx.sta_cart, tt.from_cart, scale, offset,
+        (offset[2], offset[2] + scale[2]), n_sta_real=16,
+        ref_srcs_cart=jnp.asarray(ref)))(jax.random.PRNGKey(3))
+    ev = np.asarray(tl.ev_pos_cart)[np.asarray(tl.ev_mask)]
+    d = np.linalg.norm(ev[:, :2] - ref[0, :2], axis=1)
+    assert np.all(d < 5e3)  # all positions near the reference cluster
+
+
+def test_correlated_travel_time_noise():
+    """use_correlated_noise: co-located stations get near-identical arrival
+    residuals under a long correlation length; independent Laplace noise
+    does not (ref :331-481)."""
+    from genie_tpu.synth.generator import synthesize_timeline
+    from genie_tpu.train.trainer import _corr_chol
+
+    cfg = tiny_config()
+    cfg.synth.max_rate_events = 16.0
+    # co-located stations: identical trv; any pick-time spread = noise spread
+    n_sta = cfg.graph.max_sta
+    sta = np.tile(np.array([[10e3, 5e3, 0.0]], np.float32), (n_sta, 1))
+    sta += np.random.default_rng(0).normal(0, 10.0, sta.shape).astype(np.float32)
+    proj = Projection.from_center(cfg.region.center)
+    tt = HomogeneousTravelTime(proj)
+    scale = jnp.asarray([160e3, 160e3, 40e3], jnp.float32)
+    offset = jnp.asarray([-80e3, -80e3, -40e3], jnp.float32)
+
+    # workable softplus params: beta=1 (10^0), shift 0, std ~ 5% of t
+    cfg.synth.use_correlated_noise = True
+    cfg.synth.corr_noise_params = (0.05, 0.0, 0.01, 0.01, 1e9, 0.0, 0.0)
+    L = _corr_chol(cfg, sta)
+    assert np.allclose(np.asarray(L)[:, 0], 1.0, atol=1e-2)  # rank-1 at l->inf
+
+    def spread(corr_chol, use):
+        cfg.synth.use_correlated_noise = use
+        tl = jax.jit(lambda k: synthesize_timeline(
+            k, cfg.synth, jnp.asarray(sta), tt.from_cart, scale, offset,
+            (offset[2], offset[2] + scale[2]), n_sta_real=n_sta,
+            corr_chol=corr_chol))(jax.random.PRNGKey(2))
+        t = np.asarray(tl.pick_t)
+        evi = np.asarray(tl.pick_event)
+        ph = np.asarray(tl.pick_phase)
+        m = np.asarray(tl.pick_mask) & (evi >= 0) & np.asarray(tl.pick_assoc_ok)
+        outs = []
+        for e in np.unique(evi[m]):
+            for p in (0, 1):
+                sel = m & (evi == e) & (ph == p)
+                if sel.sum() >= 6:
+                    outs.append(np.std(t[sel]))
+        return np.median(outs)
+
+    s_corr = spread(L, True)
+    s_indep = spread(None, False)
+    # fully-correlated noise cancels across co-located stations
+    assert s_corr < 0.35 * s_indep, (s_corr, s_indep)
