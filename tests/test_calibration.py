@@ -93,3 +93,51 @@ def test_interp_scattered_idw():
     out = np.asarray(interp_scattered(jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(q), k=2))
     assert abs(out[0] - 1.0) < 1e-3      # at a data point → its value
     assert abs(out[1] - 2.0) < 0.2       # midpoint → average
+
+
+def test_relocation_benchmark_improves_matched_events():
+    """The calibration relocation benchmark (ref
+    apply_calibration_routines.py:516-650): DE relocation with the true
+    travel-time model must beat perturbed initial locations."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from genie_tpu.calibration.corrections import relocation_benchmark
+
+    rng = np.random.default_rng(0)
+    n_sta, n_ev = 14, 6
+    sta = rng.uniform(-60e3, 60e3, (n_sta, 3)).astype(np.float32)
+    sta[:, 2] = 0.0
+
+    def trv(sta_cart, src_cart):
+        d = jnp.linalg.norm(src_cart[:, None] - sta_cart[None], axis=-1)
+        return jnp.stack((d / 6000.0, d / 3464.0), axis=-1)
+
+    target = np.concatenate(
+        (rng.uniform(-40e3, 40e3, (n_ev, 2)), rng.uniform(-15e3, -5e3, (n_ev, 1)),
+         rng.uniform(0, 1000, (n_ev, 1))), axis=1).astype(np.float32)
+    init = target + np.concatenate(
+        (rng.normal(0, 5e3, (n_ev, 3)), rng.normal(0, 1.0, (n_ev, 1))),
+        axis=1).astype(np.float32)
+
+    pick_t, pick_sta, pick_ph, pick_ev = [], [], [], []
+    tt = np.asarray(trv(jnp.asarray(sta), jnp.asarray(target[:, :3])))
+    for e in range(n_ev):
+        for s in range(n_sta):
+            for p in (0, 1):
+                pick_t.append(target[e, 3] + tt[e, s, p] + rng.normal(0, 0.05))
+                pick_sta.append(s)
+                pick_ph.append(p)
+                pick_ev.append(e)
+
+    out = relocation_benchmark(
+        jax.random.PRNGKey(0), trv, sta, init, target,
+        np.array(pick_t, np.float32), np.array(pick_sta), np.array(pick_ph, np.float32),
+        np.array(pick_ev), bounds_lo=[-70e3, -70e3, -30e3, -30.0],
+        bounds_hi=[70e3, 70e3, 0.0, 86400.0 + 30.0],
+        grid_cart=target[:2, :3], max_picks=32)
+    assert out["relocated"]["horizontal_m"] < 0.5 * out["initial"]["horizontal_m"]
+    assert out["relocated"]["time_s"] < out["initial"]["time_s"] + 0.1
+    assert "bias_initial" in out
+    assert np.all(np.asarray(out["bias_relocated"][:2])
+                  <= np.asarray(out["bias_initial"][:2]) + 1e3)
