@@ -25,8 +25,8 @@ def small_cfg():
     cfg.train.checkpoint_every = 2
     cfg.synth.max_events = 12
     cfg.synth.n_false_max = 64
-    cfg.synth.T = 600.0
-    cfg.synth.max_rate_events = 6.0
+    cfg.synth.T = 300.0
+    cfg.synth.max_rate_events = 40.0  # dense enough that tiny smoke runs see positive labels
     cfg.process.thresh = 0.05
     cfg.process.min_required_picks = 3
     cfg.process.min_required_sta = 2
@@ -61,9 +61,14 @@ def test_full_project_workflow(tmp_path):
 
     # 3. short training run with checkpointing
     model, state = train(cfg, ctx, trv, tmp_path / "GNN_TrainedModels",
-                         n_steps=2, log_every=1)
+                         n_steps=3, log_every=1)
     assert (tmp_path / "GNN_TrainedModels" / "ckpt").exists()
-    assert (tmp_path / "GNN_TrainedModels" / "TestProj_output_ver_1.txt").exists()
+    log_txt = (tmp_path / "GNN_TrainedModels" / "TestProj_output_ver_1.txt").read_text()
+    # the smoke run must exercise a real learning signal: some window carried
+    # positive detection/association labels (VERDICT: zero-label smoke run)
+    trgt_vals = [float(x) for ln in log_txt.splitlines()
+                 for x in ln.split("trgts [")[1].split("]")[0].split()]
+    assert sum(trgt_vals) > 0.0, log_txt
 
     # 4. fabricate a pick file from a planted event and process it
     from genie_tpu.io import load_catalog, save_picks
