@@ -134,6 +134,7 @@ class InferencePipeline:
                      in_axes=(0, 0, 0, 0, None, None, None, None)),
             static_argnums=(7,))
         self._assoc_fn = jax.jit(self._assoc_window, static_argnames=("grid",))
+        self._trunk_fn = jax.jit(self._trunk_window, static_argnames=("grid",))
         self._refine_fn = jax.jit(self._refine_window, static_argnames=("grid",))
 
     # -- station subsets ----------------------------------------------------
@@ -290,19 +291,28 @@ class InferencePipeline:
         return np.concatenate(kept_pos), np.concatenate(kept_val)
 
     # -- stage 4: refinement ------------------------------------------------
-    def _refine_window(self, tpick, ipick, phase, pick_mask, xq, grid: int):
+    def _trunk_window(self, tpick, ipick, phase, pick_mask, grid: int):
+        """Product trunk of one pick window (expensive; computed once per
+        refinement candidate, then re-queried cheaply per offset chunk)."""
         feat, fmask = featurize_window(
             tpick, ipick, phase, pick_mask, self.ctx.trv_grids[grid],
             self.cfg.train.src_t_kernel, self.sta_mask)
         feat, fmask = self._apply_subgraph(feat, fmask, grid)
         graph = _make_graph(self.ctx, grid, self.sta_mask, self.sta_nbr,
                             self.sta_nbr_valid)
+        x_spatial, _ = self.model.apply(
+            self.params, feat, fmask, graph, self.ctx.sta_cart,
+            method=Detector.forward_trunk)
+        return x_spatial
+
+    def _refine_window(self, x_spatial, xq, grid: int):
+        graph = _make_graph(self.ctx, grid, self.sta_mask, self.sta_nbr,
+                            self.sta_nbr_valid)
         xq_idx = build_query_attachment(self.ctx.grids_cart[grid], xq,
                                         k=self.cfg.graph.k_spatial_attn)
-        _, x = self.model.apply(
-            self.params, feat, fmask, graph, self.ctx.sta_cart,
-            xq, xq_idx, self.t_query,
-            method=Detector.forward_detection_only)
+        x = self.model.apply(
+            self.params, x_spatial, graph, xq, xq_idx, self.t_query,
+            method=Detector.forward_query_head)
         return x[:, :, 0]
 
     def refine_sources(self, pick_t, pick_sta, pick_phase, srcs, vals,
@@ -329,15 +339,16 @@ class InferencePipeline:
                 continue
             tp, ip, ph, pm = (jnp.asarray(tp), jnp.asarray(ip),
                               jnp.asarray(ph), jnp.asarray(pm))
+            x_spatial = self._trunk_fn(tp, ip, ph, pm, grid=grid)
             for c0 in range(0, n_rand, chunk):
-                n_c = min(chunk, n_rand - c0)
                 koff = jax.random.fold_in(jax.random.fold_in(key, i), c0)
-                offs = np.asarray(jax.random.normal(koff, (n_c, 3))) * sig
+                # fixed chunk size (padded by resampling) = one compile
+                offs = np.asarray(jax.random.normal(koff, (chunk, 3))) * sig
                 xq = (srcs[i, :3][None] + offs).astype(np.float32)
                 if c0 == 0:
                     xq[0] = srcs[i, :3]
-                x = np.asarray(self._refine_fn(tp, ip, ph, pm,
-                                               jnp.asarray(xq), grid=grid))
+                x = np.asarray(self._refine_fn(x_spatial, jnp.asarray(xq),
+                                               grid=grid))
                 qi, ti = np.unravel_index(np.argmax(x), x.shape)
                 if x[qi, ti] > vals[i]:
                     out[i, :3] = xq[qi]

@@ -225,3 +225,17 @@ class Detector(nn.Module):
         _, x_spatial, y_latent = self._detection_trunk(feat, mask, graph, sta_pos)
         return self._detection_heads(x_spatial, y_latent, graph,
                                      x_query, x_query_idx, t_query)
+
+    def forward_trunk(self, feat, mask, graph: GraphBundle, sta_pos):
+        """Product trunk only — reusable across many query sets (the
+        refinement stage re-queries one window at ~100k offsets; the trunk
+        must not be recomputed per offset chunk)."""
+        _, x_spatial, y_latent = self._detection_trunk(feat, mask, graph, sta_pos)
+        return x_spatial, y_latent
+
+    def forward_query_head(self, x_spatial, graph: GraphBundle, x_query,
+                           x_query_idx, t_query):
+        """Query detection head on a precomputed trunk (pairs with
+        :meth:`forward_trunk`)."""
+        x_q = self.spatial_attn(x_spatial, x_query_idx, graph.src_pos, x_query)
+        return self.temporal_attn(x_q, t_query)
