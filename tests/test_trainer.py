@@ -208,3 +208,29 @@ def test_correlated_travel_time_noise():
     s_indep = spread(None, False)
     # fully-correlated noise cancels across co-located stations
     assert s_corr < 0.35 * s_indep, (s_corr, s_indep)
+
+
+def test_rasterized_featurizer_matches_searchsorted():
+    """The rasterized scatter-max featurizer (ref process_utils.py:460-642)
+    equals the shared searchsorted featurizer within bin quantization."""
+    from genie_tpu.synth.generator import (featurize_window,
+                                           featurize_window_rasterized)
+
+    rng = np.random.default_rng(0)
+    n_pick, n_sta, n_src = 48, 10, 30
+    sig = 3.0
+    tpick = jnp.asarray(np.sort(rng.uniform(0, 60, n_pick)).astype(np.float32))
+    ipick = jnp.asarray(rng.integers(0, n_sta, n_pick))
+    phase = jnp.asarray(rng.integers(0, 2, (n_pick, 1)).astype(np.float32))
+    pm = jnp.asarray(rng.uniform(size=n_pick) < 0.9)
+    trv = jnp.asarray(rng.uniform(2, 55, (n_src, n_sta, 2)).astype(np.float32))
+    trv = trv.at[:, :, 1].set(trv[:, :, 0] * 1.7)
+    sta_mask = jnp.ones(n_sta)
+
+    f_ref, m_ref = featurize_window(tpick, ipick, phase, pm, trv, sig, sta_mask)
+    f_ras, m_ras = jax.jit(featurize_window_rasterized,
+                           static_argnames=("kernel_sig_t", "t_lo", "t_hi"))(
+        tpick, ipick, phase, pm, trv, sta_mask=sta_mask, kernel_sig_t=sig,
+        t_lo=-20.0, t_hi=120.0)
+    assert np.allclose(np.asarray(f_ras), np.asarray(f_ref), atol=0.05)
+    assert (np.asarray(m_ras) == np.asarray(m_ref)).mean() > 0.99
