@@ -121,6 +121,9 @@ def main():
     ap.add_argument("--cache-sweep", action="store_true",
                     help="cache the stacked day series (float16) in the run dir")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--save-catalog", action="store_true",
+                    help="save per-day catalog hdf5 (at the last thresh) "
+                         "into the run dir")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -204,6 +207,10 @@ def main():
             res["thresh"] = th
             day_res[str(th)] = res
             print(day, th, res, flush=True)
+            if args.save_catalog:
+                from genie_tpu.io import save_catalog
+                save_catalog(run_dir / f"catalog_{day}.hdf5", events,
+                             pick_t=pick_t, pick_sta=pick_sta)
         all_results[day] = day_res
 
     print(json.dumps(all_results), flush=True)
