@@ -108,6 +108,9 @@ class InferencePipeline:
         self.mag = mag_model
         self.verbose = verbose
         self.n_grids = int(ctx.grids_cart.shape[0])
+        self._overflow = 0
+        # pipeline constant: latest arrival lag relative to a window start
+        self._max_t = float(np.max(np.asarray(ctx.trv_grids)))
         # subgraph (sparse product) mode: per-grid ε+kNN pair masks
         # (ref process_utils.py:744-849); outside pairs contribute nothing
         self._pair_masks = None
@@ -133,6 +136,8 @@ class InferencePipeline:
             jax.vmap(self._sweep_window,
                      in_axes=(0, 0, 0, 0, None, None, None, None)),
             static_argnums=(7,))
+        # station mask/graph are traced arguments everywhere (not closed
+        # over): set_station_mask() must take effect on already-compiled fns
         self._assoc_fn = jax.jit(self._assoc_window, static_argnames=("grid",))
         self._trunk_fn = jax.jit(self._trunk_window, static_argnames=("grid",))
         self._refine_fn = jax.jit(self._refine_window, static_argnames=("grid",))
@@ -181,7 +186,7 @@ class InferencePipeline:
         training generator's center-priority selection on overflow
         (synth/generator.py window selection) instead of silent truncation."""
         cfg = self.cfg
-        max_t = float(np.max(np.asarray(self.ctx.trv_grids)))
+        max_t = self._max_t
         n_pick = cfg.graph.max_picks
         rel = pick_t - t0
         ok = ((rel > -10.0) & (rel < cfg.model.t_win + max_t + 10.0)
@@ -291,23 +296,23 @@ class InferencePipeline:
         return np.concatenate(kept_pos), np.concatenate(kept_val)
 
     # -- stage 4: refinement ------------------------------------------------
-    def _trunk_window(self, tpick, ipick, phase, pick_mask, grid: int):
+    def _trunk_window(self, tpick, ipick, phase, pick_mask, sta_mask, sta_nbr,
+                      sta_nbr_valid, grid: int):
         """Product trunk of one pick window (expensive; computed once per
         refinement candidate, then re-queried cheaply per offset chunk)."""
         feat, fmask = featurize_window(
             tpick, ipick, phase, pick_mask, self.ctx.trv_grids[grid],
-            self.cfg.train.src_t_kernel, self.sta_mask)
+            self.cfg.train.src_t_kernel, sta_mask)
         feat, fmask = self._apply_subgraph(feat, fmask, grid)
-        graph = _make_graph(self.ctx, grid, self.sta_mask, self.sta_nbr,
-                            self.sta_nbr_valid)
+        graph = _make_graph(self.ctx, grid, sta_mask, sta_nbr, sta_nbr_valid)
         x_spatial, _ = self.model.apply(
             self.params, feat, fmask, graph, self.ctx.sta_cart,
             method=Detector.forward_trunk)
         return x_spatial
 
-    def _refine_window(self, x_spatial, xq, grid: int):
-        graph = _make_graph(self.ctx, grid, self.sta_mask, self.sta_nbr,
-                            self.sta_nbr_valid)
+    def _refine_window(self, x_spatial, xq, sta_mask, sta_nbr, sta_nbr_valid,
+                       grid: int):
+        graph = _make_graph(self.ctx, grid, sta_mask, sta_nbr, sta_nbr_valid)
         xq_idx = build_query_attachment(self.ctx.grids_cart[grid], xq,
                                         k=self.cfg.graph.k_spatial_attn)
         x = self.model.apply(
@@ -339,7 +344,9 @@ class InferencePipeline:
                 continue
             tp, ip, ph, pm = (jnp.asarray(tp), jnp.asarray(ip),
                               jnp.asarray(ph), jnp.asarray(pm))
-            x_spatial = self._trunk_fn(tp, ip, ph, pm, grid=grid)
+            x_spatial = self._trunk_fn(tp, ip, ph, pm, self.sta_mask,
+                                       self.sta_nbr, self.sta_nbr_valid,
+                                       grid=grid)
             for c0 in range(0, n_rand, chunk):
                 koff = jax.random.fold_in(jax.random.fold_in(key, i), c0)
                 # fixed chunk size (padded by resampling) = one compile
@@ -347,8 +354,9 @@ class InferencePipeline:
                 xq = (srcs[i, :3][None] + offs).astype(np.float32)
                 if c0 == 0:
                     xq[0] = srcs[i, :3]
-                x = np.asarray(self._refine_fn(x_spatial, jnp.asarray(xq),
-                                               grid=grid))
+                x = np.asarray(self._refine_fn(
+                    x_spatial, jnp.asarray(xq), self.sta_mask, self.sta_nbr,
+                    self.sta_nbr_valid, grid=grid))
                 qi, ti = np.unravel_index(np.argmax(x), x.shape)
                 if x[qi, ti] > vals[i]:
                     out[i, :3] = xq[qi]
@@ -358,14 +366,13 @@ class InferencePipeline:
 
     # -- stage 5: association ---------------------------------------------
     def _assoc_window(self, tpick, ipick, phase, pick_mask, x_qsrc, tq_sample,
-                      grid: int):
+                      sta_mask, sta_nbr, sta_nbr_valid, grid: int):
         cfg = self.cfg
         feat, fmask = featurize_window(
             tpick, ipick, phase, pick_mask, self.ctx.trv_grids[grid],
-            cfg.train.src_t_kernel, self.sta_mask)
+            cfg.train.src_t_kernel, sta_mask)
         feat, fmask = self._apply_subgraph(feat, fmask, grid)
-        graph = _make_graph(self.ctx, grid, self.sta_mask, self.sta_nbr,
-                            self.sta_nbr_valid)
+        graph = _make_graph(self.ctx, grid, sta_mask, sta_nbr, sta_nbr_valid)
         pair_idx, pair_valid = build_pair_table(
             tpick, ipick, pick_mask, k_pair=cfg.graph.k_pick_pairs)
         picks = PickSet(tpick, ipick, phase, pick_mask, pair_idx, pair_valid)
@@ -388,7 +395,7 @@ class InferencePipeline:
         return int(np.ceil(n / levels[-1]) * levels[-1])
 
     def associate(self, pick_t, pick_sta, pick_phase, srcs, grid: int = 0,
-                  n_qsrc_pad: int | None = None):
+                  n_qsrc_pad: int | None = None, vals=None):
         """srcs: (n, 4) candidate (x, y, z, t_abs). Returns per-source pick
         assignment via competitive assignment over weight-graph components."""
         cfg = self.cfg
@@ -405,7 +412,8 @@ class InferencePipeline:
         tq[:len(srcs)] = srcs[:, 3] - t0
         arv_p, arv_s = self._assoc_fn(
             jnp.asarray(tp), jnp.asarray(ip), jnp.asarray(ph), jnp.asarray(pm),
-            jnp.asarray(xq), jnp.asarray(tq), grid=grid)
+            jnp.asarray(xq), jnp.asarray(tq), self.sta_mask, self.sta_nbr,
+            self.sta_nbr_valid, grid=grid)
         w = np.stack((np.asarray(arv_p), np.asarray(arv_s)), axis=-1)[:len(srcs)]
         w = np.where(w > cfg.process.thresh_assoc, w, 0.0)  # (n_src, n_pick, 2)
         w = w * pm[None, :, None]
@@ -448,6 +456,7 @@ class InferencePipeline:
                     results.append(CatalogEvent(
                         pos_cart=srcs[q, :3].copy(), time=float(srcs[q, 3]),
                         picks=sel[pick_rows], pick_phases=assign[rows, 1].copy(),
+                        score=float(vals[q]) if vals is not None else None,
                     ))
         return results
 
@@ -529,7 +538,14 @@ class InferencePipeline:
                 pick_amp=None, grids=None):
         times_s, series = self.detection_sweep(pick_t, pick_sta, pick_phase,
                                                t_start, t_end, grids=grids)
-        cands, vals = self.extract_candidates(times_s, series)
+        return self.process_from_sweep(times_s, series, pick_t, pick_sta,
+                                       pick_phase, pick_amp=pick_amp)
+
+    def process_from_sweep(self, times_s, series, pick_t, pick_sta, pick_phase,
+                           pick_amp=None, thresh=None):
+        """Stages 2-7 given a precomputed (possibly cached) sweep series —
+        the shared entry point for process() and re-scoring scripts."""
+        cands, vals = self.extract_candidates(times_s, series, thresh=thresh)
         srcs, svals = self.cluster_candidates(cands, vals)
         if self.verbose:
             print(f"[pipeline] {len(cands)} peaks -> {len(srcs)} clustered",
@@ -551,7 +567,8 @@ class InferencePipeline:
                         & (srcs[g, 3] <= span_end)]
                 events.extend(self.associate(
                     pick_t, pick_sta, pick_phase,
-                    np.concatenate((srcs[sub, :3], srcs[sub, 3:4]), axis=1)))
+                    np.concatenate((srcs[sub, :3], srcs[sub, 3:4]), axis=1),
+                    vals=svals[sub]))
                 start += len(sub)
         if self.verbose:
             print(f"[pipeline] {len(events)} associated", flush=True)

@@ -100,6 +100,9 @@ def save_catalog(path, events, pick_t=None, pick_sta=None, extra=None):
         f.create_dataset("srcs", data=srcs)
         mags = np.array([ev.mag if ev.mag is not None else np.nan for ev in events])
         f.create_dataset("mags", data=mags)
+        scores = np.array([ev.score if ev.score is not None else np.nan
+                           for ev in events])
+        f.create_dataset("scores", data=scores)
         grp = f.create_group("events")
         for i, ev in enumerate(events):
             g = grp.create_group(str(i))
@@ -123,6 +126,8 @@ def load_catalog(path):
     with h5py.File(path, "r") as f:
         srcs = np.asarray(f["srcs"])
         mags = np.asarray(f["mags"]) if "mags" in f else np.full(len(srcs), np.nan)
+        scores = (np.asarray(f["scores"]) if "scores" in f
+                  else np.full(len(srcs), np.nan))
         for i in range(len(srcs)):
             g = f["events"][str(i)]
             events.append(CatalogEvent(
@@ -130,6 +135,7 @@ def load_catalog(path):
                 picks=np.asarray(g["picks"]), pick_phases=np.asarray(g["phases"]),
                 cov=np.asarray(g["cov"]) if "cov" in g else None,
                 mag=None if np.isnan(mags[i]) else float(mags[i]),
+                score=None if np.isnan(scores[i]) else float(scores[i]),
             ))
     return events
 

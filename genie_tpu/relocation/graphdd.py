@@ -465,8 +465,8 @@ def make_dd_loss(model: GNNLocation, trv_from_cart, sta_cart,
                                            graph.sta_nbr, prod_mask)
         new_pos = graph.src_pos + d_pos * graph.src_mask[:, None]
         new_t = graph.src_time + d_t * graph.src_mask
-        pred = (trv_from_cart(sc, new_pos) + new_t[:, None, None]
-                + sta_corr[None, :, :])
+        t_full = trv_from_cart(sc, new_pos)          # (S, n_sta_g, 2)
+        pred = t_full + new_t[:, None, None] + sta_corr[None, :, :]
         r = (graph.obs_time - pred)
         m = graph.obs_mask
 
@@ -488,7 +488,6 @@ def make_dd_loss(model: GNNLocation, trv_from_cart, sta_cart,
         # optional dt.cc differential-time loss (ref :1010-1035): the model
         # must reproduce the cross-correlation differential times between
         # paired sources at a shared station/phase; S phase down-weighted 0.5
-        t_full = trv_from_cart(sc, new_pos)          # (S, n_sta_g, 2)
         t_a = (t_full[graph.dt_a, graph.dt_sta, graph.dt_ph] + new_t[graph.dt_a]
                + sta_corr[graph.dt_sta, graph.dt_ph])
         t_b = (t_full[graph.dt_b, graph.dt_sta, graph.dt_ph] + new_t[graph.dt_b]

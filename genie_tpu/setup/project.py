@@ -109,8 +109,10 @@ def convert_picks_txt(path, dirs, cfg: Config, sta_names, day_length: float = 86
             (t, name_to_idx[name], amp, 0.0 if phase.upper().startswith("P") else 1.0))
     for day, rows in by_day.items():
         rows = np.asarray(rows)
-        y, m, d = (day.split("-") + ["1", "1"])[:3]
-        out = dirs["picks"] / y / f"{cfg.region.name}_{y}_{m}_{d}_ver_1.npz"
+        # canonical unpadded int components — must match the names
+        # convert_hypodd_catalog looks up for amplitude matching
+        y, m, d = (int(p) for p in (day.split("-") + ["1", "1"])[:3])
+        out = dirs["picks"] / str(y) / f"{cfg.region.name}_{y}_{m}_{d}_ver_1.npz"
         save_picks(out, rows[:, 0], rows[:, 1].astype(int), rows[:, 3], rows[:, 2])
     return sorted(by_day)
 
@@ -153,6 +155,9 @@ def parse_hypodd_catalog(path, sta_names):
             continue
         if parts[0] == "#":
             if len(parts) < 13:
+                import warnings
+                warnings.warn(f"skipping malformed source line: {line!r}")
+                cur = {"picks": [], "tod": 0.0}  # discard bucket for its picks
                 continue
             yr, mo, dy, hr, mi = (int(p) for p in parts[1:6])
             t = datetime(yr, mo, dy, hr, mi) + timedelta(seconds=float(parts[6]))

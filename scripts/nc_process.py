@@ -128,7 +128,6 @@ def main():
 
     import jax.numpy as jnp
     from genie_tpu.infer.pipeline import InferencePipeline
-    from genie_tpu.infer.cluster import split_time_groups
     from genie_tpu.models.detector import Detector
 
     run_dir = Path(args.run)
@@ -157,11 +156,17 @@ def main():
         print(f"--- {day}: {len(pick_t)} picks >= p{args.min_prob}, "
               f"{len(ind_use)} stations", flush=True)
 
-        cache_f = run_dir / f"sweep_{day}.npz"
+        # cache key includes everything the series depends on: query-set
+        # size, pick prob floor, and the params checkpoint step
+        step = blob.get("step", 0) if isinstance(blob, dict) else 0
+        n_q = int(pipe.x_query.shape[0])
+        cache_f = run_dir / f"sweep_{day}_q{n_q}_p{args.min_prob}_s{step}.npz"
         t0 = time.time()
         if cache_f.exists():
             z = np.load(cache_f)
             times_s, series = z["times_s"], z["series"].astype(np.float32)
+            assert series.shape[0] == n_q, \
+                f"stale sweep cache {cache_f}: {series.shape[0]} != {n_q}"
             print(f"sweep from cache {cache_f}", flush=True)
         else:
             times_s, series = pipe.detection_sweep(
@@ -179,29 +184,9 @@ def main():
             t1 = time.time()
             cfg.process.thresh = th
             cfg.process.thresh_assoc = th
-            cands, vals = pipe.extract_candidates(times_s, series, thresh=th)
-            srcs, svals = pipe.cluster_candidates(cands, vals)
-            print(f"[th={th}] {len(cands)} peaks -> {len(srcs)} clustered",
-                  flush=True)
-            events = []
-            if len(srcs):
-                srcs, svals = pipe.refine_sources(
-                    pick_t.astype(np.float32), pick_sta,
-                    pick_ph.astype(np.float32), srcs, svals)
-                for g in split_time_groups(srcs[:, 3], cfg.process.break_win):
-                    g = g[np.argsort(srcs[g, 3])]
-                    start = 0
-                    while start < len(g):
-                        span_end = srcs[g[start], 3] + cfg.model.t_win
-                        sub = g[(srcs[g, 3] >= srcs[g[start], 3])
-                                & (srcs[g, 3] <= span_end)]
-                        events.extend(pipe.associate(
-                            pick_t.astype(np.float32), pick_sta,
-                            pick_ph.astype(np.float32),
-                            np.concatenate((srcs[sub, :3], srcs[sub, 3:4]), axis=1)))
-                        start += len(sub)
-                events = pipe.dedup(pipe.locate(events, pick_t.astype(np.float32),
-                                                pick_sta))
+            events = pipe.process_from_sweep(
+                times_s, series, pick_t.astype(np.float32), pick_sta,
+                pick_ph.astype(np.float32), thresh=th)
             res = score(proj, events, cat, ref_srcs, args.t_end)
             res["process_time_s"] = round(t_sweep + time.time() - t1, 1)
             res["thresh"] = th

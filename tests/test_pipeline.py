@@ -87,7 +87,8 @@ def test_associate_and_locate_with_perfect_weights(monkeypatch):
     pick_sta = np.array(pick_sta, np.int64)
     pick_ph = np.array(pick_ph, np.float32)
 
-    def oracle_assoc(tp, ip, ph, pm, xq, tq, grid):
+    def oracle_assoc(tp, ip, ph, pm, xq, tq, sta_mask, sta_nbr,
+                     sta_nbr_valid, grid):
         # weight 1 for picks matching theoretical times of the query source
         tp, ip, ph, pm = map(np.asarray, (tp, ip, ph, pm))
         xq, tq = np.asarray(xq), np.asarray(tq)
@@ -144,3 +145,40 @@ def test_use_subgraph_mode():
     cfg.graph.max_deg_offset = 1e-6   # only k nearest pairs survive
     cfg.graph.k_nearest_pairs = 2
     assert not np.allclose(sweep(cfg), dense, atol=1e-4)
+
+
+def test_set_station_mask_retraces_all_stages():
+    """Regression: the station mask is a traced argument of every jitted
+    stage (sweep/trunk/refine/assoc) — calling set_station_mask after the
+    first trace must change the outputs (it used to be baked in as a jit
+    constant for refine/assoc, silently reusing day 1's subnetwork)."""
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    model = Detector(src_chunk=4)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+    pipe = InferencePipeline(model, state.params, cfg, ctx, tt.from_cart)
+
+    rng = np.random.default_rng(2)
+    n_sta = int(ctx.sta_cart.shape[0])
+    n_pick = cfg.graph.max_picks
+    tp = jnp.asarray(np.sort(rng.uniform(0, 30, n_pick)).astype(np.float32))
+    ip = jnp.asarray(rng.integers(0, n_sta, n_pick))
+    ph = jnp.asarray(rng.integers(0, 2, (n_pick, 1)).astype(np.float32))
+    pm = jnp.ones(n_pick, bool)
+    xq = jnp.asarray(np.asarray(ctx.grids_cart[0][:8], np.float32))
+    tq = jnp.zeros(8, np.float32)
+
+    def run_all():
+        trunk = pipe._trunk_fn(tp, ip, ph, pm, pipe.sta_mask, pipe.sta_nbr,
+                               pipe.sta_nbr_valid, grid=0)
+        ref = pipe._refine_fn(trunk, xq, pipe.sta_mask, pipe.sta_nbr,
+                              pipe.sta_nbr_valid, grid=0)
+        ap, as_ = pipe._assoc_fn(tp, ip, ph, pm, xq, tq, pipe.sta_mask,
+                                 pipe.sta_nbr, pipe.sta_nbr_valid, grid=0)
+        return np.asarray(ref), np.asarray(ap)
+
+    full_ref, full_ap = run_all()          # first trace: all stations
+    pipe.set_station_mask(np.arange(n_sta // 2))   # day 2: half subnetwork
+    half_ref, half_ap = run_all()
+    assert not np.allclose(full_ref, half_ref)
+    assert not np.allclose(full_ap, half_ap)
