@@ -212,6 +212,7 @@ class ProcessConfig:
     min_required_sta: int = 4
     n_query_grid: int = 10000
     n_rand_query: int = 112000
+    refine_chunk: int = 16384       # offsets per device call in refinement
     offset_increment: int = 500
     trim_fraction: float = 0.2  # residual trimming in location
 

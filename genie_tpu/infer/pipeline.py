@@ -322,7 +322,7 @@ class InferencePipeline:
 
     def refine_sources(self, pick_t, pick_sta, pick_phase, srcs, vals,
                        grid: int = 0, n_rand: int | None = None, key=None,
-                       chunk: int = 4096):
+                       chunk: int | None = None):
         """Per-source local relocation by dense random re-querying around the
         candidate (ref :917-1005: n_rand_query offsets → argmax), chunked on
         device."""
@@ -331,6 +331,7 @@ class InferencePipeline:
         key = key if key is not None else jax.random.PRNGKey(0)
         cfg = self.cfg
         n_rand = n_rand if n_rand is not None else cfg.process.n_rand_query
+        chunk = chunk if chunk is not None else cfg.process.refine_chunk
         out = srcs.copy()
         sig = np.array([cfg.process.sp_win, cfg.process.sp_win,
                         0.5 * cfg.process.sp_win], np.float32)
@@ -347,10 +348,16 @@ class InferencePipeline:
             x_spatial = self._trunk_fn(tp, ip, ph, pm, self.sta_mask,
                                        self.sta_nbr, self.sta_nbr_valid,
                                        grid=grid)
+            seed = int(np.asarray(
+                jax.random.key_data(key)
+                if jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+                else key).ravel()[-1])
             for c0 in range(0, n_rand, chunk):
-                koff = jax.random.fold_in(jax.random.fold_in(key, i), c0)
+                # host-side RNG: eager jax.random would dispatch a device op
+                # per chunk (expensive under the remote-TPU tunnel)
+                rng_off = np.random.default_rng((seed, i, c0))
                 # fixed chunk size (padded by resampling) = one compile
-                offs = np.asarray(jax.random.normal(koff, (chunk, 3))) * sig
+                offs = rng_off.standard_normal((chunk, 3)).astype(np.float32) * sig
                 xq = (srcs[i, :3][None] + offs).astype(np.float32)
                 if c0 == 0:
                     xq[0] = srcs[i, :3]
