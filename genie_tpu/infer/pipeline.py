@@ -239,7 +239,10 @@ class InferencePipeline:
             print(f"[pipeline] pick overflow in {self._overflow}/{len(t0s)} "
                   f"windows (max_picks={cfg.graph.max_picks}); kept "
                   f"center-priority picks", flush=True)
-        for s in range(0, len(batch_idx), window_batch):
+        def dispatch(s):
+            """Dispatch one window batch: ensemble-average over grids ON
+            DEVICE (one host transfer per batch, not per grid) and return
+            the lazy device array (async under jax dispatch)."""
             chunk = batch_data[s:s + window_batch]
             pad = window_batch - len(chunk)
             if pad:
@@ -250,12 +253,29 @@ class InferencePipeline:
             pm = jnp.asarray(np.stack([c[3] for c in chunk]))
             out = None
             for g in grids:
-                o = np.asarray(self._sweep_batch_fn(
-                    tp, ip, ph, pm, self.sta_mask, self.sta_nbr,
-                    self.sta_nbr_valid, g))
+                o = self._sweep_batch_fn(tp, ip, ph, pm, self.sta_mask,
+                                         self.sta_nbr, self.sta_nbr_valid, g)
                 out = o if out is None else out + o
-            out /= len(grids)
-            for j, w in enumerate(batch_idx[s:s + window_batch]):
+            return out / len(grids)
+
+        # lookahead pipeline: keep a few batches in flight so host->device
+        # dispatch overlaps the device round-trip latency
+        starts = list(range(0, len(batch_idx), window_batch))
+        inflight: list[tuple[int, object]] = []
+        depth = 4
+        for s in starts:
+            inflight.append((s, dispatch(s)))
+            if len(inflight) < depth and s != starts[-1]:
+                continue
+            s0, dev = inflight.pop(0)
+            out = np.asarray(dev)
+            for j, w in enumerate(batch_idx[s0:s0 + window_batch]):
+                bins = np.round((t0s[w] + t_rel - t_min) / dt_axis).astype(np.int64)
+                acc[:, bins] += out[j]
+                cnt[bins] += 1.0
+        for s0, dev in inflight:
+            out = np.asarray(dev)
+            for j, w in enumerate(batch_idx[s0:s0 + window_batch]):
                 bins = np.round((t0s[w] + t_rel - t_min) / dt_axis).astype(np.int64)
                 acc[:, bins] += out[j]
                 cnt[bins] += 1.0
