@@ -36,6 +36,7 @@ exposed as :func:`self_check_featurization` and run in the test suite.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from typing import Callable
 
@@ -263,22 +264,29 @@ class InferencePipeline:
         starts = list(range(0, len(batch_idx), window_batch))
         inflight: list[tuple[int, object]] = []
         depth = 4
+        t_sw, n_done = time.time(), 0
+
+        def drain(s0, dev):
+            nonlocal n_done
+            out = np.asarray(dev)
+            for j, w in enumerate(batch_idx[s0:s0 + window_batch]):
+                bins = np.round((t0s[w] + t_rel - t_min) / dt_axis).astype(np.int64)
+                acc[:, bins] += out[j]
+                cnt[bins] += 1.0
+            n_done += 1
+            if self.verbose and n_done % 50 == 0:
+                dt_b = (time.time() - t_sw) / n_done
+                print(f"[pipeline] sweep {n_done}/{len(starts)} batches "
+                      f"({dt_b:.2f}s/batch, eta "
+                      f"{dt_b * (len(starts) - n_done):.0f}s)", flush=True)
+
         for s in starts:
             inflight.append((s, dispatch(s)))
             if len(inflight) < depth and s != starts[-1]:
                 continue
-            s0, dev = inflight.pop(0)
-            out = np.asarray(dev)
-            for j, w in enumerate(batch_idx[s0:s0 + window_batch]):
-                bins = np.round((t0s[w] + t_rel - t_min) / dt_axis).astype(np.int64)
-                acc[:, bins] += out[j]
-                cnt[bins] += 1.0
+            drain(*inflight.pop(0))
         for s0, dev in inflight:
-            out = np.asarray(dev)
-            for j, w in enumerate(batch_idx[s0:s0 + window_batch]):
-                bins = np.round((t0s[w] + t_rel - t_min) / dt_axis).astype(np.int64)
-                acc[:, bins] += out[j]
-                cnt[bins] += 1.0
+            drain(s0, dev)
         series = acc / np.maximum(cnt, 1.0)[None, :]
         times_s = t_min + dt_axis * np.arange(n_bins)
         return times_s, series
