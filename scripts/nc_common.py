@@ -11,7 +11,11 @@ from pathlib import Path
 import numpy as np
 
 BSSA = Path("/root/reference/BSSA")
-DAYS_DIR = BSSA / "Datasets" / "100 continuous days test"
+DATASETS = {
+    "100": BSSA / "Datasets" / "100 continuous days test",
+    "500": BSSA / "Datasets" / "500 random day test",
+}
+DAYS_DIR = DATASETS["100"]
 PROJECT_ROOT = Path("/root/repo/projects/NC_EHZ")
 
 
@@ -53,20 +57,34 @@ def nc_projection(cfg):
     return Projection.from_center(cfg.region.center)
 
 
-def load_day(day: str, t_end: float = 86400.0):
-    """(pick_t s, pick_sta, pick_phase, prob, sta_ind_use, usgs_cat, ref_srcs_trv)."""
+def load_day(day: str, t_end: float = 86400.0, dataset: str = "100",
+             return_amp: bool = False):
+    """(pick_t s, pick_sta, pick_phase, prob, sta_ind_use, usgs_cat,
+    ref_srcs_trv) [+ amplitudes with ``return_amp``].
+
+    Handles both BSSA pick schemas (100-days README: 4 columns
+    t/sta/phase/prob; 500-days README: 5 columns t/sta/amp/prob/phase —
+    the canonical format of the reference's process_continuous_days.py).
+    """
     import h5py
 
-    p = np.load(DAYS_DIR / "Picks" / f"{day}_NC_EHZ_picks_ver_1.npz",
+    days_dir = DATASETS[dataset]
+    p = np.load(days_dir / "Picks" / f"{day}_NC_EHZ_picks_ver_1.npz",
                 allow_pickle=True)
     P = p["P"]
     pick_t = P[:, 0] / 100.0  # 100 Hz sample index -> seconds
     pick_sta = P[:, 1].astype(np.int64)
-    pick_phase = P[:, 2].astype(np.float32)
-    prob = P[:, 3]
+    if P.shape[1] >= 5:  # 500-day schema: amp, prob, phase
+        amp = P[:, 2].astype(np.float32)
+        prob = P[:, 3]
+        pick_phase = P[:, 4].astype(np.float32)
+    else:  # 100-day schema: phase, prob
+        amp = None
+        pick_phase = P[:, 2].astype(np.float32)
+        prob = P[:, 3]
     sta_ind_use = p["sta_ind_use"].astype(np.int64)
 
-    src_file = DAYS_DIR / "Sources" / f"{day}_NC_EHZ_sources_ver_1.hdf5"
+    src_file = days_dir / "Sources" / f"{day}_NC_EHZ_sources_ver_1.hdf5"
     cat = srcs_trv = None
     with h5py.File(src_file, "r") as f:
         for k in f.keys():
@@ -74,9 +92,10 @@ def load_day(day: str, t_end: float = 86400.0):
                 cat = np.asarray(f[k])
             if k.endswith("_srcs_trv"):
                 srcs_trv = np.asarray(f[k])
-    return pick_t, pick_sta, pick_phase, prob, sta_ind_use, cat, srcs_trv
+    base = (pick_t, pick_sta, pick_phase, prob, sta_ind_use, cat, srcs_trv)
+    return base + (amp,) if return_amp else base
 
 
-def list_days():
+def list_days(dataset: str = "100"):
     return sorted(p.name.split("_NC_EHZ")[0]
-                  for p in (DAYS_DIR / "Picks").glob("*_picks_ver_1.npz"))
+                  for p in (DATASETS[dataset] / "Picks").glob("*_picks_ver_1.npz"))

@@ -114,6 +114,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", default=str(PROJECT_ROOT / "run2"))
     ap.add_argument("--days", nargs="+", default=["2017_274"])
+    ap.add_argument("--dataset", choices=["100", "500"], default="100",
+                    help="BSSA benchmark dataset (100 continuous days / "
+                         "500 random day test)")
     ap.add_argument("--thresh", type=float, nargs="+", default=[0.2])
     ap.add_argument("--n-query", type=int, default=None)
     ap.add_argument("--min-prob", type=float, default=0.3)
@@ -149,7 +152,8 @@ def main():
 
     all_results = {}
     for day in args.days:
-        pick_t, pick_sta, pick_ph, prob, ind_use, cat, ref_srcs = load_day(day)
+        pick_t, pick_sta, pick_ph, prob, ind_use, cat, ref_srcs = load_day(
+            day, dataset=args.dataset)
         keep = prob >= args.min_prob
         pick_t, pick_sta, pick_ph = pick_t[keep], pick_sta[keep], pick_ph[keep]
         pipe.set_station_mask(ind_use)
