@@ -110,6 +110,32 @@ def score(proj, events, cat, ref_srcs, t_end, sig_x=25e3, sig_t=15.0):
     }
 
 
+def probe_events(proj, x_query, times_s, series, cat, t_end, t_pad=40.0,
+                 k=5):
+    """Per-USGS-event detection signal: max sweep score over the k query
+    nodes nearest the catalog epicenter within ±t_pad of the origin time.
+    Reads sub-threshold signal strength directly — the diagnostic for
+    partially-trained checkpoints (round-1 failure showed ~0.006 here)."""
+    xq = np.asarray(x_query)
+    out = []
+    for ev in cat:
+        if ev[3] >= t_end:
+            continue
+        c = np.asarray(proj.to_cart_np(ev[None, :3]))[0]
+        d = np.linalg.norm(xq - c[None], axis=1)
+        nn = np.argsort(d)[:k]
+        tm = (times_s >= ev[3] - t_pad) & (times_s <= ev[3] + t_pad)
+        sc = float(series[np.ix_(nn, np.where(tm)[0])].max()) if tm.any() else np.nan
+        out.append((float(ev[3]), float(ev[4]), float(d[nn[0]]) / 1e3, sc))
+        print(f"  usgs t={ev[3]:7.0f}s M{ev[4]:.1f} nearest-node "
+              f"{d[nn[0]]/1e3:5.1f} km -> score {sc:.3f}", flush=True)
+    if out:
+        scs = np.array([o[3] for o in out])
+        print(f"  probe: {np.isfinite(scs).sum()} events, median score "
+              f"{np.nanmedian(scs):.3f}, max {np.nanmax(scs):.3f}", flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", default=str(PROJECT_ROOT / "run2"))
@@ -124,6 +150,9 @@ def main():
     ap.add_argument("--cache-sweep", action="store_true",
                     help="cache the stacked day series (float16) in the run dir")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--probe", action="store_true",
+                    help="print per-USGS-event sweep scores at the event "
+                         "location/time (sub-threshold diagnostics)")
     ap.add_argument("--save-catalog", action="store_true",
                     help="save per-day catalog hdf5 (at the last thresh) "
                          "into the run dir")
@@ -182,6 +211,8 @@ def main():
         t_sweep = time.time() - t0
         print(f"sweep {t_sweep:.0f}s; series max {series.max():.3f} "
               f"p99.9 {np.percentile(series, 99.9):.3f}", flush=True)
+        if args.probe:
+            probe_events(proj, pipe.x_query, times_s, series, cat, args.t_end)
 
         day_res = {}
         for th in args.thresh:
