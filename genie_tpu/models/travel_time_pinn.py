@@ -67,9 +67,17 @@ class VModel(nn.Module):
 
 
 class TravelTimesPN(nn.Module):
+    """``per_phase_base``: feed the per-phase normalized baseline times
+    (conversion_factor·‖Δx‖/v̄, n_phases columns) to the two perturbation
+    branches instead of the raw normalized distance (1 column) — the
+    reference's exact input layout (module.py:1423,1433: ``3 + n_phases +
+    n_embed`` / ``6 + n_phases + n_embed``), required to transplant its
+    shipped trained weights (Examples/travel_time_neural_network_*.h5)."""
+
     n_phases: int = 2
     n_hidden: int = 50
     n_embed: int = 10
+    per_phase_base: bool = False
 
     def setup(self):
         h = self.n_hidden
@@ -85,12 +93,15 @@ class TravelTimesPN(nn.Module):
     def embed_src(self, src_n):
         return self.fc3_out(_sin_block(src_n, *self.fc3))
 
-    def _pred_norm(self, sta_n, src_n, embed):
+    def _pred_norm(self, sta_n, src_n, embed, conversion_factor=None,
+                   v_mean=None):
         """Normalized (base, perturbation) for broadcast-compatible inputs."""
         # safe norm: grad of sqrt at exactly 0 (sta == src, boundary loss)
         # would be NaN
         base = jnp.sqrt(((sta_n - src_n) ** 2).sum(-1, keepdims=True) + 1e-12)
-        # base per phase uses v_mean at call site; branches see the P base
+        if self.per_phase_base:
+            base = (conversion_factor * base
+                    / v_mean.reshape((1,) * (base.ndim - 1) + (-1,)))
         p1 = _sin_block(jnp.concatenate((sta_n - src_n, base, embed), -1), *self.fc1)
         p2 = _sin_block(jnp.concatenate((sta_n, src_n, base, embed), -1), *self.fc2)
         pred = self.merge_2(self.merge_act(self.merge_1(jnp.concatenate((p1, p2), -1))))
@@ -104,7 +115,10 @@ class TravelTimesPN(nn.Module):
     def time_norm(self, sta_n, src_n, conversion_factor, v_mean):
         """Normalized travel times (…, n_phases) before relu/denorm."""
         embed = self.embed_src(src_n)
-        base, pred = self._pred_norm(sta_n, src_n, embed)
+        base, pred = self._pred_norm(sta_n, src_n, embed, conversion_factor,
+                                     v_mean)
+        if self.per_phase_base:
+            return base + pred
         base_ph = conversion_factor * base / v_mean.reshape((1,) * (base.ndim - 1) + (-1,))
         return base_ph + pred
 
@@ -297,3 +311,48 @@ def scales_from_domain(center, x_scale, t_scale, v_mean) -> ScaleParams:
         t_scale=jnp.asarray(t_scale, jnp.float32),
         v_mean=jnp.asarray(v_mean, jnp.float32),
     )
+
+
+def load_reference_pinn(weights_path, scale_params, v_mean):
+    """Transplant the reference's shipped trained PINN (a torch state_dict,
+    e.g. ``Examples/travel_time_neural_network_physics_informed_p_s_ver_1.h5``)
+    into the JAX ``TravelTimesPN`` and return ``(model, params, scales)``.
+
+    ``scale_params`` is the reference's 6-vector ``[max_dist, max_time,
+    vp_max, vs_min, scale_norm_factor, conversion_factor]`` (saved alongside
+    in the ``*_losses_*.npz``, ref train_model.py:680). The reference's
+    normalization is uncentred (``norm_pos = x/max_dist``, :664) and its
+    per-phase baseline ``conversion_factor·‖Δx_n‖/v̄_n`` equals ours with
+    ``center=0, x_scale=max_dist, t_scale=max_time`` and raw ``v_mean``
+    (both reduce to ``‖Δx‖/(max_time·v̄)``), so only the weights and the
+    ``per_phase_base`` input layout need transplanting.
+
+    torch is used only to deserialize the pickle; no torch runtime is kept.
+    """
+    import torch
+
+    sd = {k: np.asarray(v.detach().cpu().numpy(), np.float32)
+          for k, v in torch.load(weights_path, map_location="cpu",
+                                 weights_only=False).items()}
+
+    def dense(prefix):
+        return {"kernel": jnp.asarray(sd[prefix + ".weight"].T),
+                "bias": jnp.asarray(sd[prefix + ".bias"])}
+
+    n_phases = sd["merge.2.weight"].shape[0]
+    params = {"params": {
+        **{f"fc{b}_{i}": dense(f"fc{b}_{i}") for b in (1, 2, 3) for i in (1, 2, 3)},
+        "fc3_4": dense("fc3_4"),
+        "merge_1": dense("merge.0"),
+        "merge_act": {"a": jnp.asarray(sd["merge.1.weight"].reshape(()))},
+        "merge_2": dense("merge.2"),
+        "vmodel": {
+            **{f"fc1_{i}": dense(f"vmodel.fc1_{i}") for i in (1, 2, 3)},
+            **{f"fc1_4_{j}": dense(f"vmodel.fc1_4.{j}") for j in range(n_phases)},
+        },
+    }}
+    max_dist, max_time = float(scale_params[0]), float(scale_params[1])
+    scales = scales_from_domain(np.zeros(3), max_dist, max_time, v_mean)
+    model = TravelTimesPN(n_phases=n_phases, n_hidden=sd["fc1_1.weight"].shape[0],
+                          n_embed=sd["fc3_4.weight"].shape[0], per_phase_base=True)
+    return model, params, scales
