@@ -12,7 +12,7 @@ LOG=$1
 RUN=$2
 shift 2
 DAYS=${@:-"2017_274 2017_275 2017_276 2017_282"}
-THRESH="0.2 0.25 0.35 0.45 0.3"   # last one is the saved-catalog operating point
+THRESH="0.1 0.15 0.2 0.25 0.35 0.45 0.3"   # last one is the saved-catalog operating point
 cd "$(dirname "$0")/.."
 CLOG=$RUN/campaign.log
 
