@@ -45,7 +45,12 @@ class SrcPartition(NamedTuple):
 def _morton_order(pos):
     """Sort positions along a z-curve for spatial locality."""
     p = np.asarray(pos, np.float64)
-    q = ((p - p.min(0)) / np.maximum(np.ptp(p, 0), 1e-9) * 1023).astype(np.uint64)
+    # isotropic quantization: one metre-per-level scale for all axes. Per-axis
+    # normalization would stretch a thin axis (seismicity depth: tens of km vs
+    # hundreds horizontally) to full resolution, interleaving its bits at fine
+    # granularity and destroying horizontal locality — measured 74% halo rows
+    # vs 11% isotropic on a clustered 32k cloud (scripts/scaling_model.py).
+    q = ((p - p.min(0)) / max(float(np.ptp(p, 0).max()), 1e-9) * 1023).astype(np.uint64)
 
     def spread(x):
         x &= 0x3FF
