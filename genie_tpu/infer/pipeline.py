@@ -99,9 +99,19 @@ class InferencePipeline:
 
     def __init__(self, model: Detector, params, cfg: Config, ctx: DomainContext,
                  trv_from_cart: Callable, x_query_grid=None, n_t: int = 9,
-                 sta_ind_use=None, mag_model=None, verbose: bool = False):
+                 sta_ind_use=None, mag_model=None, verbose: bool = False,
+                 sweep_half: bool = False):
         self.model = model
         self.params = params
+        # optional bf16 detection sweep: the day sweep is the inference hot
+        # loop and is HBM/MXU-bound on the (n_src, n_sta, C) product tensor;
+        # bf16 halves both. Featurization and the score output stay f32
+        # (validated: max score deviation ~1e-2 ≪ threshold spacing).
+        self.sweep_half = sweep_half
+        self._params_half = (
+            jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                         if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+            if sweep_half else None)
         self.cfg = cfg
         self.ctx = ctx
         self.trv = trv_from_cart
@@ -176,11 +186,15 @@ class InferencePipeline:
             self.cfg.train.src_t_kernel, sta_mask)
         feat, fmask = self._apply_subgraph(feat, fmask, grid)
         graph = _make_graph(self.ctx, grid, sta_mask, sta_nbr, sta_nbr_valid)
+        params = self.params
+        if self.sweep_half:
+            params = self._params_half
+            feat = feat.astype(jnp.bfloat16)
         y, x = self.model.apply(
-            self.params, feat, fmask, graph, self.ctx.sta_cart,
+            params, feat, fmask, graph, self.ctx.sta_cart,
             self.x_query, self._xq_idx[grid], self.t_query,
             method=Detector.forward_detection_only)
-        return x[:, :, 0]  # (n_query, n_t)
+        return x[:, :, 0].astype(jnp.float32)  # (n_query, n_t)
 
     def _window_picks(self, pick_t, pick_sta, pick_phase, t0):
         """Pad/slice the day pick arrays to one window (host side), with the

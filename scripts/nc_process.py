@@ -153,6 +153,9 @@ def main():
     ap.add_argument("--probe", action="store_true",
                     help="print per-USGS-event sweep scores at the event "
                          "location/time (sub-threshold diagnostics)")
+    ap.add_argument("--half", action="store_true",
+                    help="bf16 detection sweep (2x MXU/HBM; scores deviate "
+                         "<~1e-2 from f32)")
     ap.add_argument("--save-catalog", action="store_true",
                     help="save per-day catalog hdf5 (at the last thresh) "
                          "into the run dir")
@@ -177,7 +180,7 @@ def main():
         use_absolute_pos=cfg.model.use_absolute_pos,
         use_updated_model_definition=cfg.model.use_updated_model_definition)
     pipe = InferencePipeline(model_inf, params, cfg, ctx, trv.from_cart,
-                             verbose=True)
+                             verbose=True, sweep_half=args.half)
 
     all_results = {}
     for day in args.days:
@@ -193,7 +196,8 @@ def main():
         # size, pick prob floor, and the params checkpoint step
         step = blob.get("step", 0) if isinstance(blob, dict) else 0
         n_q = int(pipe.x_query.shape[0])
-        cache_f = run_dir / f"sweep_{day}_q{n_q}_p{args.min_prob}_s{step}.npz"
+        half_tag = "_bf16" if args.half else ""
+        cache_f = run_dir / f"sweep_{day}_q{n_q}_p{args.min_prob}_s{step}{half_tag}.npz"
         t0 = time.time()
         if cache_f.exists():
             z = np.load(cache_f)

@@ -182,3 +182,32 @@ def test_set_station_mask_retraces_all_stages():
     half_ref, half_ap = run_all()
     assert not np.allclose(full_ref, half_ref)
     assert not np.allclose(full_ap, half_ap)
+
+
+def test_sweep_half_matches_f32():
+    """bf16 sweep (the day-processing hot loop at 2x MXU/HBM) must track the
+    f32 series closely — featurization and output stay f32."""
+    import sys
+    sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+    from test_trainer import tiny_config, tiny_domain
+    from genie_tpu.infer.pipeline import InferencePipeline
+    from genie_tpu.models.detector import Detector
+    from genie_tpu.train.trainer import init_train_state
+
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    model = Detector(src_chunk=8)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    n = 300
+    pick_t = np.sort(rng.uniform(0, 300, n)).astype(np.float32)
+    pick_sta = rng.integers(0, ctx.sta_cart.shape[0], n)
+    pick_ph = rng.integers(0, 2, n).astype(np.float32)
+
+    p32 = InferencePipeline(model, state.params, cfg, ctx, tt.from_cart)
+    p16 = InferencePipeline(model, state.params, cfg, ctx, tt.from_cart,
+                            sweep_half=True)
+    _, s32 = p32.detection_sweep(pick_t, pick_sta, pick_ph, 0.0, 300.0)
+    _, s16 = p16.detection_sweep(pick_t, pick_sta, pick_ph, 0.0, 300.0)
+    assert s16.dtype == np.float32
+    assert np.abs(s32 - s16).max() < 0.05
