@@ -59,9 +59,13 @@ class MagnitudeModel(nn.Module):
         observation)."""
         c1, c2, c3, bias = self._coefs()
         log_d0, log_dz, gidx = self._terms(src_cart, sta_cart, grid_cart, sta_idx, phase)
-        b = bias[gidx][:, :, :, :]                     # (n_obs, k, n_sta, 2)
-        b = b[jnp.arange(len(sta_idx))[:, None], :, sta_idx[:, None], phase[:, None]]
-        b = b.mean(axis=1)                             # (n_obs,)
+        # gather the (grid-node, station, phase) bias at each obs's k nearest
+        # grid nodes; all advanced indices broadcast to (n_obs, k) so the
+        # result is (n_obs, k) — NOT mixed slice/advanced indexing, which
+        # would transpose the k axis out front and silently broadcast the
+        # forward to (n_obs, n_obs)
+        b = bias[gidx, sta_idx[:, None], phase[:, None]]   # (n_obs, k)
+        b = b.mean(axis=1)                                 # (n_obs,)
         a1 = jnp.maximum(jax.nn.softplus(c1[phase]), 1e-12)
         a2 = jax.nn.softplus(c2[phase])
         a3 = c3[phase]
@@ -72,10 +76,19 @@ class MagnitudeModel(nn.Module):
 
 def fit_magnitude_model(key, sta_cart, grid_cart, src_cart, sta_idx, phase,
                         log_amp, mag_obs, k: int = 1, n_steps: int = 2000,
-                        lr: float = 1e-2, w_diff: float = 0.5):
+                        lr: float = 1e-2, w_diff: float = 0.5,
+                        max_pairs: int = 200_000):
     """Fit the model on observed (source, station, phase, amplitude,
-    catalog-magnitude) tuples. Returns (model, params)."""
+    catalog-magnitude) tuples. Returns (model, params).
+
+    The station-pair differential amplitude loss runs over explicit
+    same-event/same-phase pair indices (subsampled to ``max_pairs``), so the
+    fit scales to the full observation set instead of an O(n²) pair mask.
+    """
     model = MagnitudeModel(n_sta=sta_cart.shape[0], n_grid=grid_cart.shape[0], k=k)
+    src_np = np.asarray(src_cart)
+    sta_np = np.asarray(sta_idx)
+    ph_np = np.asarray(phase)
     src_cart = jnp.asarray(src_cart)
     sta_idx = jnp.asarray(sta_idx, jnp.int32)
     phase = jnp.asarray(phase, jnp.int32)
@@ -84,6 +97,24 @@ def fit_magnitude_model(key, sta_cart, grid_cart, src_cart, sta_idx, phase,
     sta_cart = jnp.asarray(sta_cart)
     grid_cart = jnp.asarray(grid_cart)
 
+    # same-event (identical source row) + same-phase + distinct-station pairs
+    _, ev_lab = np.unique(src_np, axis=0, return_inverse=True)
+    pi, pj = [], []
+    for e in np.unique(ev_lab):
+        idx = np.where(ev_lab == e)[0]
+        ii, jj = np.meshgrid(idx, idx, indexing="ij")
+        m = (ph_np[ii] == ph_np[jj]) & (sta_np[ii] != sta_np[jj])
+        pi.append(ii[m])
+        pj.append(jj[m])
+    pi = np.concatenate(pi) if pi else np.zeros(0, np.int64)
+    pj = np.concatenate(pj) if pj else np.zeros(0, np.int64)
+    if len(pi) > max_pairs:
+        sel = np.random.default_rng(0).choice(len(pi), max_pairs, replace=False)
+        pi, pj = pi[sel], pj[sel]
+    pi = jnp.asarray(pi, jnp.int32)
+    pj = jnp.asarray(pj, jnp.int32)
+    has_pairs = len(pi) > 0
+
     params = model.init(key, src_cart[:2], sta_cart, grid_cart, sta_idx[:2],
                         phase[:2], mag=mag_obs[:2])
 
@@ -91,14 +122,13 @@ def fit_magnitude_model(key, sta_cart, grid_cart, src_cart, sta_idx, phase,
         pred = model.apply(p, src_cart, sta_cart, grid_cart, sta_idx, phase,
                            mag=mag_obs)
         mse = ((pred - log_amp) ** 2).mean()
+        if not has_pairs:
+            return mse
         # station-pair differential amplitude loss: for observations of the
         # same event, differences of log-amps should be magnitude-free
-        same_ev = (src_cart[:, None, :] == src_cart[None, :, :]).all(-1)
-        same_ph = phase[:, None] == phase[None, :]
-        pair_m = same_ev & same_ph & (sta_idx[:, None] != sta_idx[None, :])
-        d_pred = pred[:, None] - pred[None, :]
-        d_obs = log_amp[:, None] - log_amp[None, :]
-        diff = (((d_pred - d_obs) ** 2) * pair_m).sum() / jnp.maximum(pair_m.sum(), 1)
+        d_pred = pred[pi] - pred[pj]
+        d_obs = log_amp[pi] - log_amp[pj]
+        diff = ((d_pred - d_obs) ** 2).mean()
         return mse + w_diff * diff
 
     opt = optax.adam(lr)

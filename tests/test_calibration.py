@@ -75,6 +75,33 @@ def test_magnitude_fit_and_invert():
     assert np.median(err) < 0.25
 
 
+def test_magnitude_forward_shape_and_roundtrip():
+    """Regression: the bias gather must keep the forward (n_obs,) — a mixed
+    slice/advanced index once broadcast it to (n_obs, n_obs), silently
+    corrupting the fit loss — and inversion must invert the forward exactly."""
+    from genie_tpu.models.magnitude import MagnitudeModel
+
+    rng = np.random.default_rng(3)
+    n = 9
+    src = rng.normal(size=(n, 3)).astype(np.float32) * 1e4
+    sta = rng.normal(size=(5, 3)).astype(np.float32) * 1e4
+    grid = rng.normal(size=(4, 3)).astype(np.float32) * 1e4
+    si = jnp.asarray(rng.integers(0, 5, n), jnp.int32)
+    ph = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    mag = jnp.asarray(rng.uniform(1, 4, n), jnp.float32)
+    for k in (1, 3):
+        m = MagnitudeModel(n_sta=5, n_grid=4, k=k)
+        p = m.init(jax.random.PRNGKey(0), jnp.asarray(src[:2]), jnp.asarray(sta),
+                   jnp.asarray(grid), si[:2], ph[:2], mag=mag[:2])
+        fwd = m.apply(p, jnp.asarray(src), jnp.asarray(sta), jnp.asarray(grid),
+                      si, ph, mag=mag)
+        assert fwd.shape == (n,)
+        inv = m.apply(p, jnp.asarray(src), jnp.asarray(sta), jnp.asarray(grid),
+                      si, ph, log_amp=fwd)
+        assert inv.shape == (n,)
+        np.testing.assert_allclose(np.asarray(inv), np.asarray(mag), atol=1e-5)
+
+
 def test_matched_catalog_stats():
     det = np.array([[0, 0, -5e3, 10.0], [50e3, 0, -5e3, 100.0]])
     ref = np.array([[1e3, 0, -5e3, 10.5], [50e3, 1e3, -5e3, 99.5],
