@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--t-assoc", type=float, default=1.5)
     ap.add_argument("--holdout", type=float, default=0.25)
+    ap.add_argument("--save", default=None,
+                    help="persist the fitted model (pickle with params, "
+                         "bias grid, k) for nc_process --mag-model")
     ap.add_argument("--diag", action="store_true",
                     help="print fitted coefficients and forward log-amp "
                          "residuals (per split and per day)")
@@ -212,6 +215,13 @@ def main():
         }
         print(name, res[name])
     print(json.dumps(res))
+
+    if args.save:
+        import pickle
+        Path(args.save).write_bytes(pickle.dumps(
+            {"params": jax.device_get(params), "grid_cart": grid_cart,
+             "k": 1, "n_sta": sta_cart.shape[0], "vald": res["vald"]}))
+        print(f"saved magnitude model to {args.save}")
 
 
 if __name__ == "__main__":

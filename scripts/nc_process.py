@@ -97,7 +97,7 @@ def score(proj, events, cat, ref_srcs, t_end, sig_x=25e3, sig_t=15.0):
     ref_keep = ref_srcs[ref_srcs[:, 3] < t_end]
     ref_stats = matched_catalog_stats(to_cart4(ref_keep), cat_c,
                                       sig_x=sig_x, sig_t=sig_t)
-    return {
+    out = {
         "n_usgs": int(len(cat_c)),
         "n_detected": int(stats["n_detected"]),
         "n_matched": int(stats["n_matched"]),
@@ -108,6 +108,21 @@ def score(proj, events, cat, ref_srcs, t_end, sig_x=25e3, sig_t=15.0):
         "ref_n_matched": int(ref_stats["n_matched"]),
         "ref_detection_rate": round(float(ref_stats["detection_rate"]), 3),
     }
+    # magnitude residuals vs USGS for matched events that got a magnitude
+    mags = np.array([m if (m := getattr(ev, "mag", None)) is not None
+                     else np.nan for ev in events], np.float64).reshape(-1)
+    if np.isfinite(mags).any() and len(det_c) and len(cat_c):
+        from genie_tpu.infer.assign import maximize_bipartite_assignment
+        ia, ib = maximize_bipartite_assignment(det_c, cat_c,
+                                               sig_x=sig_x, sig_t=sig_t)
+        ok = np.isfinite(mags[ia])
+        if ok.any():
+            r = mags[ia][ok] - cat_keep[ib][ok, 4]
+            out["mag_n"] = int(ok.sum())
+            out["mag_resid_median"] = round(float(np.median(r)), 3)
+            out["mag_resid_mad"] = round(
+                float(np.median(np.abs(r - np.median(r)))), 3)
+    return out
 
 
 def probe_events(proj, x_query, times_s, series, cat, t_end, t_pad=40.0,
@@ -156,6 +171,10 @@ def main():
     ap.add_argument("--half", action="store_true",
                     help="bf16 detection sweep (2x MXU/HBM; scores deviate "
                          "<~1e-2 from f32)")
+    ap.add_argument("--mag-model", default=None,
+                    help="fitted magnitude model pickle (nc_magnitude --save); "
+                         "assigns event magnitudes when the dataset ships "
+                         "amplitudes (500-day schema)")
     ap.add_argument("--save-catalog", action="store_true",
                     help="save per-day catalog hdf5 (at the last thresh) "
                          "into the run dir")
@@ -179,15 +198,29 @@ def main():
         use_phase_types=cfg.model.use_phase_types,
         use_absolute_pos=cfg.model.use_absolute_pos,
         use_updated_model_definition=cfg.model.use_updated_model_definition)
+    mag_model = None
+    if args.mag_model:
+        from genie_tpu.models.magnitude import MagnitudeModel
+        mm = pickle.loads(Path(args.mag_model).read_bytes())
+        mag_model = {"model": MagnitudeModel(n_sta=mm["n_sta"],
+                                             n_grid=len(mm["grid_cart"]),
+                                             k=mm.get("k", 1)),
+                     "params": mm["params"], "grid_cart": mm["grid_cart"]}
+        print(f"magnitude model from {args.mag_model} "
+              f"(vald {mm.get('vald')})", flush=True)
+
     pipe = InferencePipeline(model_inf, params, cfg, ctx, trv.from_cart,
-                             verbose=True, sweep_half=args.half)
+                             verbose=True, sweep_half=args.half,
+                             mag_model=mag_model)
 
     all_results = {}
     for day in args.days:
-        pick_t, pick_sta, pick_ph, prob, ind_use, cat, ref_srcs = load_day(
-            day, dataset=args.dataset)
+        pick_t, pick_sta, pick_ph, prob, ind_use, cat, ref_srcs, pick_amp = \
+            load_day(day, dataset=args.dataset, return_amp=True)
         keep = prob >= args.min_prob
         pick_t, pick_sta, pick_ph = pick_t[keep], pick_sta[keep], pick_ph[keep]
+        if pick_amp is not None:
+            pick_amp = pick_amp[keep]
         pipe.set_station_mask(ind_use)
         print(f"--- {day}: {len(pick_t)} picks >= p{args.min_prob}, "
               f"{len(ind_use)} stations", flush=True)
@@ -225,7 +258,7 @@ def main():
             cfg.process.thresh_assoc = th
             events = pipe.process_from_sweep(
                 times_s, series, pick_t.astype(np.float32), pick_sta,
-                pick_ph.astype(np.float32), thresh=th)
+                pick_ph.astype(np.float32), pick_amp=pick_amp, thresh=th)
             res = score(proj, events, cat, ref_srcs, args.t_end)
             res["process_time_s"] = round(t_sweep + time.time() - t1, 1)
             res["thresh"] = th
