@@ -65,27 +65,48 @@ def local_marching(cands, values, tc_win: float = 5.0, sp_win: float = 17.5e3,
 
     pos = cands[:, :3].copy()
     pos[:, 2] *= depth_weight  # ref scale_depth (default 1.0)
-    t = cands[:, 3]
+    t = np.asarray(cands[:, 3], np.float64)
     values = np.asarray(values, np.float64)
 
-    close_t = np.abs(t[:, None] - t[None, :]) < tc_win
-    d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
-    adj = close_t & (d2 < sp_win**2)
+    # Time-sorted CSR adjacency: a candidate only interacts with candidates
+    # within tc_win in time, so after sorting by t its neighbours live in a
+    # contiguous [lo, hi) index band (searchsorted). Memory is O(total edges)
+    # instead of the dense O(n^2) pairwise matrix, which at real-day candidate
+    # counts (200k+ at low thresholds) would be hundreds of GiB.
+    order = np.argsort(t, kind="stable")
+    ts, ps, vs = t[order], pos[order], values[order]
+    lo = np.searchsorted(ts, ts - tc_win, side="left")
+    hi = np.searchsorted(ts, ts + tc_win, side="right")
 
-    # directed: node i receives only from neighbours j with value_j >= value_i
-    # (original values fix the flow field); diagonal keeps the self value
-    recv = adj & (values[None, :] >= values[:, None])
-    np.fill_diagonal(recv, True)
+    counts = np.zeros(n, np.int64)
+    cols_chunks = []
+    chunk = max(1, int(2**24 // max(1, int((hi - lo).max()))))
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        w = int((hi[s:e] - lo[s:e]).max())
+        band = lo[s:e, None] + np.arange(w)[None, :]
+        valid = band < hi[s:e, None]
+        band = np.minimum(band, n - 1)
+        d2 = ((ps[band] - ps[s:e, None, :]) ** 2).sum(-1)
+        # directed: node i receives only from neighbours j with value_j >=
+        # value_i (original values fix the flow field); the band contains i
+        # itself, so the self-loop that keeps v_i alive is included for free
+        ok = valid & (d2 < sp_win**2) & (vs[band] >= vs[s:e, None])
+        counts[s:e] = ok.sum(1)
+        cols_chunks.append(band[ok])  # row-major: per-row neighbour runs
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    cols = np.concatenate(cols_chunks)
 
-    v = values.copy()
+    v = vs.copy()
     for _ in range(n_steps):
-        flooded = np.where(recv, v[None, :], -np.inf).max(axis=1)
+        flooded = np.maximum.reduceat(v[cols], indptr[:-1])
         if np.abs(flooded - v).max() <= tol:
             v = flooded
             break
         v = flooded
-    keep = np.where(np.abs(v - values) <= tol * np.maximum(1, np.abs(values)))[0]
-    return keep.astype(np.int64)
+    keep_sorted = np.where(np.abs(v - vs) <= tol * np.maximum(1, np.abs(vs)))[0]
+    return np.sort(order[keep_sorted]).astype(np.int64)
 
 
 def find_peaks_1d(x, thresh: float, min_spacing: int = 1):

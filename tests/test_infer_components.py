@@ -66,6 +66,53 @@ def test_local_marching_single_and_empty():
     assert local_marching(np.zeros((1, 4)), np.ones(1)).tolist() == [0]
 
 
+def _local_marching_dense(cands, values, tc_win, sp_win, depth_weight=1.0,
+                          n_steps=100, tol=1e-12):
+    """Brute-force O(n^2) directed max-flooding (the pre-CSR implementation),
+    kept as the oracle for the banded version."""
+    pos = cands[:, :3].copy()
+    pos[:, 2] *= depth_weight
+    t = cands[:, 3]
+    values = np.asarray(values, np.float64)
+    close_t = np.abs(t[:, None] - t[None, :]) < tc_win
+    d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
+    recv = close_t & (d2 < sp_win**2) & (values[None, :] >= values[:, None])
+    np.fill_diagonal(recv, True)
+    v = values.copy()
+    for _ in range(n_steps):
+        flooded = np.where(recv, v[None, :], -np.inf).max(axis=1)
+        if np.abs(flooded - v).max() <= tol:
+            break
+        v = flooded
+    return np.where(np.abs(v - values) <= tol * np.maximum(1, np.abs(values)))[0]
+
+
+def test_local_marching_matches_dense_oracle():
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(2, 120))
+        cands = np.column_stack([
+            rng.uniform(-30e3, 30e3, n), rng.uniform(-30e3, 30e3, n),
+            rng.uniform(-15e3, 0, n), rng.uniform(0, 60, n)])
+        vals = rng.uniform(0, 1, n)
+        got = local_marching(cands, vals, tc_win=8.0, sp_win=20e3)
+        want = _local_marching_dense(cands, vals, tc_win=8.0, sp_win=20e3)
+        assert sorted(got.tolist()) == sorted(want.tolist()), trial
+
+
+def test_local_marching_scales_to_real_day_candidate_counts():
+    """206k candidates at thresh 0.1 on a real day OOM'd the dense pairwise
+    matrix (317 GiB); the banded CSR version must handle it in O(n*window)."""
+    rng = np.random.default_rng(1)
+    n = 200_000
+    cands = np.column_stack([
+        rng.uniform(-200e3, 200e3, n), rng.uniform(-200e3, 200e3, n),
+        rng.uniform(-30e3, 0, n), rng.uniform(0, 86400, n)])
+    vals = rng.uniform(0, 0.2, n)
+    keep = local_marching(cands, vals, tc_win=5.0, sp_win=17.5e3)
+    assert 0 < len(keep) <= n
+
+
 def test_competitive_assignment_two_sources():
     # 2 sources, 3 stations; each station has a P pick for each source
     n_arv, n_src = 6, 2
