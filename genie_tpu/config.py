@@ -105,6 +105,11 @@ class ModelConfig:
     use_phase_types: bool = True
     use_absolute_pos: bool = False
     use_updated_model_definition: bool = False  # edge-featured DataAggregation
+    # count-normalize the bipartite read-in station sum (layers.BipartiteReadIn).
+    # False = the reference's raw sum. Normalizing divides out the coherent-
+    # station COUNT — the primary detection signal — and collapsed the
+    # detection heads to an input-independent background on the NC network.
+    normalize_readin: bool = False
     t_win: float = 10.0
     n_heads_spatial: int = 5
     n_heads_assoc: int = 3

@@ -245,7 +245,8 @@ def train(cfg: Config, ctx: DomainContext, trv, out_dir, n_steps=None,
                      kernel_sig_t=cfg.model.kernel_sig_t,
                      use_phase_types=cfg.model.use_phase_types,
                      use_absolute_pos=cfg.model.use_absolute_pos,
-                     use_updated_model_definition=cfg.model.use_updated_model_definition)
+                     use_updated_model_definition=cfg.model.use_updated_model_definition,
+                     normalize_readin=cfg.model.normalize_readin)
     key = jax.random.PRNGKey(seed)
     state = init_train_state(model, cfg, ctx, trv.from_cart, key)
     if restart:

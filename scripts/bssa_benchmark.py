@@ -145,8 +145,8 @@ def main():
 
     # train without matmul-agg (remat rebuilds the aggregation matrices in
     # the backward); infer with it (forward-only, faster sweeps)
-    model = Detector(src_chunk=16, normalize_readin=True)
-    model_inf = Detector(src_chunk=16, normalize_readin=True, via_matmul=True)
+    model = Detector(src_chunk=16)
+    model_inf = Detector(src_chunk=16, via_matmul=True)
     if args.load_params:
         params = pickle.loads(Path(args.load_params).read_bytes())
     else:

@@ -193,7 +193,8 @@ def main():
     cfg, ctx, proj, trv, sta_lla = build_runtime(
         run_dir, thresh=min(args.thresh), n_query=args.n_query)
     model_inf = Detector(
-        src_chunk=16, normalize_readin=True, via_matmul=True,
+        src_chunk=16, normalize_readin=cfg.model.normalize_readin,
+        via_matmul=True,
         scale_rel=cfg.model.scale_rel, kernel_sig_t=cfg.model.kernel_sig_t,
         use_phase_types=cfg.model.use_phase_types,
         use_absolute_pos=cfg.model.use_absolute_pos,

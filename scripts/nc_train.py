@@ -111,6 +111,12 @@ def main():
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--ckpt-every", type=int, default=500)
     ap.add_argument("--no-subnetworks", action="store_true")
+    ap.add_argument("--readin-norm", type=int, default=0,
+                    help="count-normalize the bipartite read-in station sum. "
+                         "Default 0 = the reference's raw sum: the station "
+                         "COUNT of coherent picks is the detection signal, "
+                         "and normalizing it away collapsed the detection "
+                         "heads to an input-independent background (run2)")
     args = ap.parse_args()
 
     import jax
@@ -122,6 +128,7 @@ def main():
 
     cfg, sta_lla = nc_config(n_src=args.n_src, n_grids=args.n_grids,
                              n_batch=args.n_batch)
+    cfg.model.normalize_readin = bool(args.readin_norm)
     cfg.train.positive_boost = args.boost
     cfg.train.lr = args.lr
     proj = nc_projection(cfg)
@@ -163,7 +170,7 @@ def main():
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     cfg.save(out / "config.yaml")
-    model = Detector(src_chunk=16, normalize_readin=True)
+    model = Detector(src_chunk=16, normalize_readin=cfg.model.normalize_readin)
     key = jax.random.PRNGKey(0)
     state = init_train_state(model, cfg, ctx, trv.from_cart, key)
     start = 0
