@@ -215,3 +215,48 @@ def test_updated_model_definition_switches_architecture():
     g = jax.jit(jax.grad(loss))(p1)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_readin_sum_preserves_station_count_signal():
+    """The raw ('add') bipartite read-in must scale with the number of
+    coherent stations — the primary detection signal (ref module.py:214-229).
+    The count-normalized variant divides it away; training with it collapsed
+    the detection heads to an input-independent background on the 374-station
+    NC network, so the raw sum is the default."""
+    from genie_tpu.models.layers import BipartiteReadIn
+
+    n_src, n_sta, c = 6, 40, 30
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((n_src, n_sta, c)), jnp.float32)
+    edge = jnp.asarray(rng.random((n_src, n_sta, 3)), jnp.float32)
+    sta_mask = jnp.ones(n_sta)
+
+    def masked(n_active):
+        m = np.zeros((n_src, n_sta, 4), np.float32)
+        m[:, :n_active] = 1.0
+        return jnp.asarray(m)
+
+    layer = BipartiteReadIn(ndim_in=c + 3, ndim_out=15, normalize=False)
+    params = layer.init(jax.random.PRNGKey(0), x, edge, masked(n_sta), sta_mask)
+    # pre-activation magnitude after the station sum grows with the count
+    few = layer.apply(params, x, edge, masked(4), sta_mask)
+    many = layer.apply(params, x, edge, masked(40), sta_mask)
+    assert float(jnp.abs(many).mean()) > 3.0 * float(jnp.abs(few).mean())
+
+    norm = BipartiteReadIn(ndim_in=c + 3, ndim_out=15, normalize=True)
+    params_n = norm.init(jax.random.PRNGKey(0), x, edge, masked(n_sta), sta_mask)
+    few_n = norm.apply(params_n, x, edge, masked(4), sta_mask)
+    many_n = norm.apply(params_n, x, edge, masked(40), sta_mask)
+    # the normalized variant erases the count signal (this is the failure)
+    ratio = float(jnp.abs(many_n).mean()) / float(jnp.abs(few_n).mean())
+    assert 0.5 < ratio < 2.0
+
+
+def test_normalize_readin_config_roundtrip(tmp_path):
+    from genie_tpu.config import Config, load_config
+
+    cfg = Config()
+    assert cfg.model.normalize_readin is False  # reference default
+    cfg.model.normalize_readin = True
+    cfg.save(tmp_path / "c.yaml")
+    assert load_config(tmp_path / "c.yaml").model.normalize_readin is True
