@@ -23,7 +23,7 @@ echo "[campaign] training done at $(date -u +%H:%M:%S); starting evaluation" >> 
 for day in $DAYS; do
   echo "[campaign] === day $day $(date -u +%H:%M:%S) ===" >> "$CLOG"
   python scripts/nc_process.py --run "$RUN" --days "$day" \
-    --thresh $THRESH --probe --cache-sweep --save-catalog \
+    --thresh $THRESH --probe --cache-sweep --save-catalog --half \
     --json-out "$RUN/eval_${day}.json" >> "$CLOG" 2>&1
 done
 
