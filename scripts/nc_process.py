@@ -160,6 +160,12 @@ def main():
                          "500 random day test)")
     ap.add_argument("--thresh", type=float, nargs="+", default=[0.2])
     ap.add_argument("--n-query", type=int, default=None)
+    ap.add_argument("--n-grids", type=int, default=None,
+                    help="sweep-ensemble grid count (default: all trained "
+                         "grids; 1 = fast single-grid eval)")
+    ap.add_argument("--gather", action="store_true",
+                    help="use the fixed-k gather aggregation path instead "
+                         "of the dense matmul path in the sweep")
     ap.add_argument("--min-prob", type=float, default=0.3)
     ap.add_argument("--t-end", type=float, default=86400.0)
     ap.add_argument("--cache-sweep", action="store_true",
@@ -191,10 +197,11 @@ def main():
           flush=True)
 
     cfg, ctx, proj, trv, sta_lla = build_runtime(
-        run_dir, thresh=min(args.thresh), n_query=args.n_query)
+        run_dir, thresh=min(args.thresh), n_query=args.n_query,
+        n_grids=args.n_grids)
     model_inf = Detector(
         src_chunk=16, normalize_readin=cfg.model.normalize_readin,
-        via_matmul=True,
+        via_matmul=not args.gather,
         scale_rel=cfg.model.scale_rel, kernel_sig_t=cfg.model.kernel_sig_t,
         use_phase_types=cfg.model.use_phase_types,
         use_absolute_pos=cfg.model.use_absolute_pos,

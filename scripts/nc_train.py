@@ -194,6 +194,10 @@ def main():
         state, metrics = step_fn(state, k)
         if i % args.log_every == 0 or i == args.steps - 1:
             line = (f"step {i} loss {float(metrics['loss']):.5f} "
+                    f"[g {float(metrics['loss_grid']):.5f} "
+                    f"q {float(metrics['loss_query']):.5f} "
+                    f"p {float(metrics['loss_p']):.5f} "
+                    f"s {float(metrics['loss_s']):.5f}] "
                     f"trgts {np.asarray(metrics['trgts']).round(1)} "
                     f"preds {np.asarray(metrics['preds']).round(1)} "
                     f"({(time.time() - t0) / max(i - start, 1):.2f}s/step)")
