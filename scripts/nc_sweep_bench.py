@@ -56,7 +56,7 @@ def main():
 
     n_day_batches = 86400.0 / cfg.model.t_win * cfg.process.step_size / 16.0
 
-    def one(label, via_matmul, half, grids):
+    def one(label, via_matmul, half, grids, window_batch=16):
         model = Detector(
             src_chunk=16, normalize_readin=cfg.model.normalize_readin,
             via_matmul=via_matmul,
@@ -69,28 +69,32 @@ def main():
         pipe.set_station_mask(sta_ind)
         # warm-up/compile on a short prefix
         pipe.detection_sweep(pick_t, pick_sta, pick_ph, 0.0, 400.0,
-                             grids=grids)
+                             grids=grids, window_batch=window_batch)
         t0 = time.time()
         times_s, series = pipe.detection_sweep(
-            pick_t, pick_sta, pick_ph, 0.0, args.t_end, grids=grids)
+            pick_t, pick_sta, pick_ph, 0.0, args.t_end, grids=grids,
+            window_batch=window_batch)
         dt = time.time() - t0
         n_batches = int(np.ceil(args.t_end / cfg.model.t_win
-                                * cfg.process.step_size / 16.0))
-        day_s = dt / n_batches * n_day_batches
+                                * cfg.process.step_size / window_batch))
+        n_day_b = n_day_batches * 16.0 / window_batch
+        day_s = dt / n_batches * n_day_b
         print(f"{label:42s} {dt / n_batches:6.2f} s/batch "
               f"-> full day ~{day_s / 60:6.1f} min", flush=True)
         return series
 
     all_grids = list(range(ctx.grids_cart.shape[0]))
     ref = one("matmul f32 all-grids (campaign r2 cfg)", True, False, all_grids)
-    for label, vm, hf, gr in [
-            ("matmul bf16 all-grids (--half)", True, True, all_grids),
-            ("gather f32 all-grids", False, False, all_grids),
-            ("gather bf16 all-grids", False, True, all_grids),
-            ("matmul bf16 1-grid", True, True, [0]),
-            ("gather bf16 1-grid", False, True, [0]),
+    for label, vm, hf, gr, wb in [
+            ("matmul bf16 all-grids (--half)", True, True, all_grids, 16),
+            ("gather f32 all-grids", False, False, all_grids, 16),
+            ("gather bf16 all-grids", False, True, all_grids, 16),
+            ("matmul bf16 1-grid", True, True, [0], 16),
+            ("gather bf16 1-grid", False, True, [0], 16),
+            ("matmul bf16 all-grids wb64", True, True, all_grids, 64),
+            ("gather bf16 all-grids wb64", False, True, all_grids, 64),
     ]:
-        s = one(label, vm, hf, gr)
+        s = one(label, vm, hf, gr, wb)
         if s.shape == ref.shape:
             d = float(np.max(np.abs(s - ref)))
             print(f"    max |delta| vs reference config: {d:.4f}", flush=True)
