@@ -234,3 +234,53 @@ def test_rasterized_featurizer_matches_searchsorted():
         t_lo=-20.0, t_hi=120.0)
     assert np.allclose(np.asarray(f_ras), np.asarray(f_ref), atol=0.05)
     assert (np.asarray(m_ras) == np.asarray(m_ref)).mean() > 0.99
+
+
+def test_preferential_sampling_gates_on_detectable_events():
+    """Preferential windows draw only from events whose post-miss picks pass
+    the min_sta/min_pick gate and center them at the label-slice center
+    (ref train_GENIE_model.py:826-877). A labeled-but-pickless event must
+    never be targeted; targeted windows carry a near-max grid label."""
+    from genie_tpu.synth.generator import Timeline, make_windows
+
+    cfg = tiny_config()
+    cfg.train.n_batch = 16
+    cfg.synth.n_sta_range = (1.0, 1.0)       # keep every station
+    ctx, tt = tiny_domain(cfg)
+    n_sta = cfg.graph.max_sta
+    E, N = 2, 64
+
+    # event 0 at t=400 picked by 12 stations; event 1 at t=150 pickless
+    ev_pos = np.zeros((E, 3), np.float32)
+    ev_pos[:, 2] = -8e3
+    ev_time = np.array([400.0, 150.0], np.float32)
+    n_pk = 12
+    trv = np.asarray(tt.from_cart(jnp.asarray(ctx.sta_cart),
+                                  jnp.asarray(ev_pos)))   # (E, n_sta, 2)
+    pick_t = np.zeros(N, np.float32)
+    pick_sta = np.zeros(N, np.int32)
+    pick_event = np.full(N, -1, np.int32)
+    pick_mask = np.zeros(N, bool)
+    pick_t[:n_pk] = ev_time[0] + trv[0, :n_pk, 0]
+    pick_sta[:n_pk] = np.arange(n_pk)
+    pick_event[:n_pk] = 0
+    pick_mask[:n_pk] = True
+    tl = Timeline(jnp.asarray(ev_pos), jnp.asarray(ev_time),
+                  jnp.zeros(E), jnp.asarray([True, True]),
+                  jnp.asarray(pick_t), jnp.asarray(pick_sta),
+                  jnp.zeros(N, jnp.int32), jnp.asarray(pick_event),
+                  jnp.asarray(pick_mask), jnp.asarray(pick_mask))
+
+    wb = make_windows(jax.random.PRNGKey(3), cfg.synth, cfg.train, cfg.graph,
+                      tl, ctx.sta_cart, ctx.grids_cart, ctx.trv_grids,
+                      ctx.scale_cart, ctx.offset_cart,
+                      t_win=cfg.model.t_win)
+    t0s = np.asarray(wb.t_sample)
+    lbl_max = np.asarray(wb.lbl_grid).max(axis=(1, 2))
+    near_a = np.abs(t0s - ev_time[0]) < 6.0
+    near_b = np.abs(t0s - ev_time[1]) < 20.0
+    # ~half the windows target the detectable event, none the pickless one
+    assert near_a.sum() >= 4, (t0s, ev_time)
+    assert not near_b.any(), (t0s, ev_time)
+    # targeted windows carry a strong grid label (spatial taper only)
+    assert lbl_max[near_a].max() > 0.5, lbl_max
