@@ -161,8 +161,8 @@ def main():
     ap.add_argument("--thresh", type=float, nargs="+", default=[0.2])
     ap.add_argument("--n-query", type=int, default=None)
     ap.add_argument("--n-grids", type=int, default=None,
-                    help="sweep-ensemble grid count (default: all trained "
-                         "grids; 1 = fast single-grid eval)")
+                    help="sweep-ensemble grid count, subset at sweep time "
+                         "(default: all trained grids; 1 = fast eval)")
     ap.add_argument("--gather", action="store_true",
                     help="use the fixed-k gather aggregation path instead "
                          "of the dense matmul path in the sweep")
@@ -197,8 +197,9 @@ def main():
           flush=True)
 
     cfg, ctx, proj, trv, sta_lla = build_runtime(
-        run_dir, thresh=min(args.thresh), n_query=args.n_query,
-        n_grids=args.n_grids)
+        run_dir, thresh=min(args.thresh), n_query=args.n_query)
+    # grid-ensemble subsetting happens at sweep time (same domain/caches)
+    sweep_grids = list(range(args.n_grids)) if args.n_grids else None
     model_inf = Detector(
         src_chunk=16, normalize_readin=cfg.model.normalize_readin,
         via_matmul=not args.gather,
@@ -238,7 +239,8 @@ def main():
         step = blob.get("step", 0) if isinstance(blob, dict) else 0
         n_q = int(pipe.x_query.shape[0])
         half_tag = "_bf16" if args.half else ""
-        cache_f = run_dir / f"sweep_{day}_q{n_q}_p{args.min_prob}_s{step}{half_tag}.npz"
+        g_tag = f"_g{args.n_grids}" if args.n_grids else ""
+        cache_f = run_dir / f"sweep_{day}_q{n_q}_p{args.min_prob}_s{step}{half_tag}{g_tag}.npz"
         t0 = time.time()
         if cache_f.exists():
             z = np.load(cache_f)
@@ -249,7 +251,7 @@ def main():
         else:
             times_s, series = pipe.detection_sweep(
                 pick_t.astype(np.float32), pick_sta, pick_ph.astype(np.float32),
-                0.0, args.t_end)
+                0.0, args.t_end, grids=sweep_grids)
             if args.cache_sweep:
                 np.savez_compressed(cache_f, times_s=times_s,
                                     series=series.astype(np.float16))
