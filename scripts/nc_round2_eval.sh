@@ -56,16 +56,34 @@ if [ -n "$gs" ] && [ -n "$ms" ]; then
 fi
 echo "[eval] aggregation path: ${GFLAG:-matmul} (gather $gs vs matmul $ms s/batch)" >> "$CLOG"
 
+# pre-flight: pick the PhaseNet probability floor by probe score. The
+# reference processes ALL picks (utils.py:983 load_picks thresh_cut=None);
+# our round-1 harness floored at 0.3. A/B a half-day 1-grid sweep.
+echo "[eval] === min-prob A/B $(date -u +%H:%M:%S) ===" >> "$CLOG"
+MP=0.3
+timeout 3000 python -u scripts/nc_process.py --run "$RUN" --days 2017_274 \
+  --thresh 0.3 --probe --n-grids 1 --t-end 43200 --half $GFLAG \
+  --min-prob 0.0 > "$RUN/ab_mp00.log" 2>&1
+timeout 3000 python -u scripts/nc_process.py --run "$RUN" --days 2017_274 \
+  --thresh 0.3 --probe --n-grids 1 --t-end 43200 --half $GFLAG \
+  --min-prob 0.3 > "$RUN/ab_mp03.log" 2>&1
+m0=$(grep -oE "median score [0-9.]+" "$RUN/ab_mp00.log" | tail -1 | grep -oE "[0-9.]+$")
+m3=$(grep -oE "median score [0-9.]+" "$RUN/ab_mp03.log" | tail -1 | grep -oE "[0-9.]+$")
+if [ -n "$m0" ] && [ -n "$m3" ]; then
+  MP=$(python -c "print(0.0 if $m0 > $m3 else 0.3)")
+fi
+echo "[eval] min-prob A/B: p0.0 median $m0 vs p0.3 median $m3 -> --min-prob $MP" >> "$CLOG"
+
 echo "[eval] === day 2017_274 (full ensemble) $(date -u +%H:%M:%S) ===" >> "$CLOG"
 python -u scripts/nc_process.py --run "$RUN" --days 2017_274 \
   --thresh $THRESH --probe --cache-sweep --save-catalog --half $GFLAG $MAG \
-  --json-out "$RUN/eval_2017_274.json" >> "$CLOG" 2>&1
+  --min-prob $MP --json-out "$RUN/eval_2017_274.json" >> "$CLOG" 2>&1
 
 for day in 2017_275 2017_276 2017_282; do
   echo "[eval] === day $day (2-grid) $(date -u +%H:%M:%S) ===" >> "$CLOG"
   python -u scripts/nc_process.py --run "$RUN" --days "$day" \
     --thresh $THRESH --probe --cache-sweep --save-catalog --half $GFLAG \
-    --n-grids 2 $MAG \
+    --n-grids 2 $MAG --min-prob $MP \
     --json-out "$RUN/eval_${day}.json" >> "$CLOG" 2>&1
 done
 
