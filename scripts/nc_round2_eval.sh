@@ -79,6 +79,10 @@ python -u scripts/nc_process.py --run "$RUN" --days 2017_274 \
   --thresh $THRESH --probe --cache-sweep --save-catalog --half $GFLAG $MAG \
   --min-prob $MP --json-out "$RUN/eval_2017_274.json" >> "$CLOG" 2>&1
 
+
+echo "[eval] === relocation $(date -u +%H:%M:%S) ===" >> "$CLOG"
+python -u scripts/nc_relocate.py --run "$RUN" --day 2017_274 >> "$CLOG" 2>&1
+
 for day in 2017_275 2017_276 2017_282; do
   echo "[eval] === day $day (2-grid) $(date -u +%H:%M:%S) ===" >> "$CLOG"
   python -u scripts/nc_process.py --run "$RUN" --days "$day" \
@@ -87,6 +91,4 @@ for day in 2017_275 2017_276 2017_282; do
     --json-out "$RUN/eval_${day}.json" >> "$CLOG" 2>&1
 done
 
-echo "[eval] === relocation $(date -u +%H:%M:%S) ===" >> "$CLOG"
-python -u scripts/nc_relocate.py --run "$RUN" --day 2017_274 >> "$CLOG" 2>&1
 echo "[eval] finished $(date -u +%H:%M:%S)" >> "$CLOG"
