@@ -14,7 +14,9 @@ RUN=$2
 STOP_AT=${3:-0}
 cd "$(dirname "$0")/.."
 CLOG=$RUN/campaign.log
-THRESH="0.1 0.15 0.2 0.25 0.3 0.35 0.45 0.25"  # last = saved-catalog operating point
+THRESH="0.45 0.35 0.3 0.2 0.25"  # high->low; last = saved-catalog operating point
+# (0.1/0.15 re-scorable later from the cached sweep; at low thresholds the
+#  association/location stages dominate and can take hours per threshold)
 
 echo "[eval] waiting for done marker in $LOG" >> "$CLOG"
 while ! grep -qx "done" "$LOG" 2>/dev/null; do
