@@ -203,7 +203,9 @@ class TrainConfig:
 class ProcessConfig:
     """Continuous-day inference. Ref: process_config.yaml."""
 
-    step_size: float = 2.0          # window step factor (accurate=2, fast=5)
+    # sweep stride = t_win / step_size (s): 2 -> 5 s stride (the reference
+    # process_config.yaml default "fast" mode), 5 -> 2 s ("accurate")
+    step_size: float = 2.0
     thresh: float = 0.35
     thresh_assoc: float = 0.35
     use_only_one_grid: bool = False
