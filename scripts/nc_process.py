@@ -71,10 +71,19 @@ def build_runtime(run_dir: Path, n_grids=None, n_src=None, thresh=0.2,
     if tg_cache.exists():
         trv_grids = np.load(tg_cache)
     else:
-        trv_grids = np.stack([
-            interp_fmm_at(grids_cart[g], tt_dir, len(sta_cart))
-            for g in range(n_grids)])
-        np.save(tg_cache, trv_grids)
+        # reuse any cached superset (the 5-grid training cache) by slicing
+        trv_grids = None
+        for cand in sorted(tg_cache.parent.glob(f"trv_grids_{n_src}_*_fmm.npy")):
+            arr = np.load(cand, mmap_mode="r")
+            if arr.shape[0] >= n_grids:
+                trv_grids = np.asarray(arr[:n_grids])
+                break
+        if trv_grids is None:
+            ng, ns = grids_cart.shape[:2]
+            trv_grids = interp_fmm_at(
+                grids_cart.reshape(-1, 3), tt_dir,
+                len(sta_cart)).reshape(ng, ns, len(sta_cart), 2)
+            np.save(tg_cache, trv_grids)
 
     ctx = build_domain_context(cfg, sta_lla.astype(np.float32), sta_cart,
                                grids_lla.astype(np.float32), grids_cart,

@@ -52,9 +52,14 @@ def build_grids(cfg, proj, n_grids, n_src, cache: Path):
 
 def interp_fmm_at(points_cart, tt_dir: Path, n_sta):
     """Exact trilinear interpolation of the FMM volumes at arbitrary points:
-    (n_pts, n_sta, 2). Host-side (used for the precomputed trv_grids)."""
+    (n_pts, n_sta, 2). Host-side (used for the precomputed trv_grids).
+
+    Pass the points of ALL grids concatenated: decompressing each station
+    volume dominates, so one call over 2500 points costs the same as one
+    call over 500."""
     from scipy.interpolate import RegularGridInterpolator
 
+    points_cart = np.asarray(points_cart, np.float64)
     out = np.zeros((points_cart.shape[0], n_sta, 2), np.float32)
     for j in range(n_sta):
         z = np.load(tt_dir / f"travel_time_grid_station_{j}.npz")
@@ -148,9 +153,9 @@ def main():
         trv_grids = np.load(tg_cache)
     elif use_fmm:
         print("interpolating FMM volumes at grid nodes...", flush=True)
-        trv_grids = np.stack([
-            interp_fmm_at(grids_cart[g], tt_dir, len(sta_cart))
-            for g in range(args.n_grids)])
+        ng, ns = grids_cart.shape[:2]
+        trv_grids = interp_fmm_at(grids_cart.reshape(-1, 3), tt_dir,
+                                  len(sta_cart)).reshape(ng, ns, len(sta_cart), 2)
         np.save(tg_cache, trv_grids)
     else:
         trv_grids = np.stack([
