@@ -6,9 +6,19 @@ training, and day processing all agree (the reference keeps this contract in
 ``config.yaml`` + the ``*_losses.npz`` checkpoint snapshot).
 """
 
+import os
 from pathlib import Path
 
 import numpy as np
+
+# Persistent XLA compilation cache: the NC train step takes 10-25 min to
+# compile over the tunneled backend, and the campaign kills/restarts the
+# trainer around evaluation (plus watchdog restarts). jax reads these at
+# first import; nc_common is imported before jax in every nc_* script.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/repo/projects/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 BSSA = Path("/root/reference/BSSA")
 DATASETS = {
