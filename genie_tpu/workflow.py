@@ -143,11 +143,13 @@ def build_fmm_tables(cfg: Config, proj: Projection, sta_lla, out_dir,
     out_dir.mkdir(parents=True, exist_ok=True)
     idxs = range(len(sta_cart)) if station_indices is None else station_indices
     for j in idxs:
+        out_path = out_dir / f"travel_time_grid_station_{j}.npz"
+        if out_path.exists():
+            continue  # idempotent restart (shard jobs may be re-run)
         t0 = time.time()
         Tp = fast_march(vol_p, h, sta_cart[j][None], origin=lo)
         Ts = fast_march(vol_s, h, sta_cart[j][None], origin=lo)
-        np.savez_compressed(out_dir / f"travel_time_grid_station_{j}.npz",
-                            Tp=Tp, Ts=Ts, origin=lo, h=h, shape=shape)
+        np.savez_compressed(out_path, Tp=Tp, Ts=Ts, origin=lo, h=h, shape=shape)
         if verbose:
             print(f"station {j}: fmm {time.time() - t0:.1f}s grid {shape}")
     return shape, lo, h

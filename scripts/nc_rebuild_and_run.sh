@@ -1,0 +1,52 @@
+#!/bin/bash
+# From-scratch NC artifact rebuild + time-boxed training + headline-day eval.
+# Chain: FMM tables (CPU shards; idempotent, skip existing) -> PINN surrogate
+# (TPU) -> detector training with the fixed preferential sampling -> process
+# day 2017_274. Each stage logs to projects/NC_EHZ/*.log; checkpoints land
+# every --ckpt-every steps so a mid-run kill still leaves a usable model.
+#
+# FMM shards are forced onto CPU (PYTHONPATH= JAX_PLATFORMS=cpu): the axon
+# TPU tunnel admits ONE client, and a second jax-initializing process blocks
+# forever waiting for it.
+#
+# Usage: nc_rebuild_and_run.sh [train_steps] [run_dir] [shard_list]
+set -u
+cd "$(dirname "$0")/.."
+STEPS=${1:-3000}
+RUN=${2:-projects/NC_EHZ/run5}
+SHARDS=${3:-"0 1 2 3"}
+R=projects/NC_EHZ
+mkdir -p "$R"
+
+N_STA=374
+count() { ls "$R/TravelTimeData" 2>/dev/null | wc -l; }
+
+if [ "$(count)" -lt "$N_STA" ]; then
+  echo "[chain] FMM build start $(date -u +%H:%M:%S) ($(count)/$N_STA done)"
+  for j in $SHARDS; do
+    PYTHONPATH= JAX_PLATFORMS=cpu python scripts/nc_fmm_build.py "$j" 4 \
+      > "$R/fmm_$j.log" 2>&1 &
+  done
+  wait
+  # other shard processes may still be running outside this script
+  while [ "$(count)" -lt "$N_STA" ]; do sleep 15; done
+  echo "[chain] FMM done $(date -u +%H:%M:%S)"
+fi
+
+if [ ! -f "$R/Grids/pinn_nc.pkl" ]; then
+  echo "[chain] PINN start $(date -u +%H:%M:%S)"
+  python scripts/nc_pinn.py --steps 25000 > "$R/pinn.log" 2>&1
+  echo "[chain] PINN done $(date -u +%H:%M:%S)"
+fi
+
+echo "[chain] train start $(date -u +%H:%M:%S)"
+python -u scripts/nc_train.py --steps "$STEPS" --trv pinn --boost 30 \
+  --ckpt-every 250 --out "$RUN" > "$R/train.log" 2>&1
+echo done >> "$R/train.log"
+echo "[chain] train done $(date -u +%H:%M:%S)"
+
+echo "[chain] process start $(date -u +%H:%M:%S)"
+python -u scripts/nc_process.py --run "$RUN" --days 2017_274 \
+  --thresh 0.45 0.35 0.3 0.25 0.2 --probe --cache-sweep --save-catalog --half \
+  --json-out "$RUN/eval_2017_274.json" > "$R/process.log" 2>&1
+echo "[chain] finished $(date -u +%H:%M:%S)"
