@@ -117,7 +117,42 @@ def bench_torch_cpu():
     return EDGES / dt, dt
 
 
+def wait_for_tpu_tunnel(timeout_s: float = 900.0):
+    """The axon TPU tunnel admits ONE client. Long-running campaign stages
+    (training, day processing) record their PID in a well-known pidfile;
+    wait for the active stage to exit, then — as a last resort so the
+    benchmark always lands — stop that exact recorded PID (never a pattern).
+    Checkpointing every 250 steps bounds what a stop can lose."""
+    import os
+    import signal
+
+    pidfile = "/root/repo/projects/NC_EHZ/.tpu_stage.pid"
+    try:
+        pid = int(open(pidfile).read().strip())
+    except (OSError, ValueError):
+        return
+
+    def alive(p):
+        try:
+            os.kill(p, 0)
+            return True
+        except OSError:
+            return False
+
+    t0 = time.time()
+    while alive(pid):
+        if time.time() - t0 > timeout_s:
+            os.kill(pid, signal.SIGTERM)
+            time.sleep(20)
+            if alive(pid):
+                os.kill(pid, signal.SIGKILL)
+            break
+        time.sleep(10)
+    time.sleep(10)  # let the tunnel release
+
+
 def main():
+    wait_for_tpu_tunnel()
     jax_eps, jax_dt = bench_jax()
     try:
         ref_eps, ref_dt = bench_torch_cpu()

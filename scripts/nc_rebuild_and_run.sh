@@ -33,20 +33,34 @@ if [ "$(count)" -lt "$N_STA" ]; then
   echo "[chain] FMM done $(date -u +%H:%M:%S)"
 fi
 
+# TPU stages record their PID so bench.py (and other tools) can wait for /
+# reclaim the single-client TPU tunnel (see bench.py:wait_for_tpu_tunnel).
+PIDFILE=$R/.tpu_stage.pid
+tpu_stage() {  # tpu_stage <log> <cmd...>
+  local log=$1; shift
+  "$@" > "$log" 2>&1 &
+  echo $! > "$PIDFILE"
+  wait $!
+  local rc=$?
+  rm -f "$PIDFILE"
+  return $rc
+}
+
 if [ ! -f "$R/Grids/pinn_nc.pkl" ]; then
   echo "[chain] PINN start $(date -u +%H:%M:%S)"
-  python scripts/nc_pinn.py --steps 25000 > "$R/pinn.log" 2>&1
+  tpu_stage "$R/pinn.log" python scripts/nc_pinn.py --steps 25000
   echo "[chain] PINN done $(date -u +%H:%M:%S)"
 fi
 
 echo "[chain] train start $(date -u +%H:%M:%S)"
-python -u scripts/nc_train.py --steps "$STEPS" --trv pinn --boost 30 \
-  --ckpt-every 250 --out "$RUN" > "$R/train.log" 2>&1
+tpu_stage "$R/train.log" python -u scripts/nc_train.py --steps "$STEPS" \
+  --trv pinn --boost 30 --ckpt-every 250 --out "$RUN"
 echo done >> "$R/train.log"
 echo "[chain] train done $(date -u +%H:%M:%S)"
 
 echo "[chain] process start $(date -u +%H:%M:%S)"
-python -u scripts/nc_process.py --run "$RUN" --days 2017_274 \
+tpu_stage "$R/process.log" python -u scripts/nc_process.py --run "$RUN" \
+  --days 2017_274 \
   --thresh 0.45 0.35 0.3 0.25 0.2 --probe --cache-sweep --save-catalog --half \
-  --json-out "$RUN/eval_2017_274.json" > "$R/process.log" 2>&1
+  --json-out "$RUN/eval_2017_274.json"
 echo "[chain] finished $(date -u +%H:%M:%S)"
