@@ -117,7 +117,7 @@ def bench_torch_cpu():
     return EDGES / dt, dt
 
 
-def wait_for_tpu_tunnel(timeout_s: float = 900.0):
+def wait_for_tpu_tunnel(timeout_s: float = 300.0):
     """The axon TPU tunnel admits ONE client. Long-running campaign stages
     (training, day processing) record their PID in a well-known pidfile;
     wait for the active stage to exit, then — as a last resort so the
