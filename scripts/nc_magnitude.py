@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--t-assoc", type=float, default=1.5)
     ap.add_argument("--holdout", type=float, default=0.25)
+    ap.add_argument("--min-obs", type=int, default=6,
+                    help="drop events with fewer matched amplitude "
+                         "observations (sparse events are dominated by "
+                         "single misassociated picks)")
     ap.add_argument("--save", default=None,
                     help="persist the fitted model (pickle with params, "
                          "bias grid, k) for nc_process --mag-model")
@@ -126,8 +130,22 @@ def main():
     obs_amp = np.asarray(obs_amp, np.float32)
     obs_mag = np.asarray(obs_mag, np.float32)
     obs_ev = np.asarray(obs_ev)
+    # Event-level support gate: an event observed by only a couple of
+    # stations pins its inverted magnitude on 1-2 amplitudes, and a single
+    # misassociated far-station pick (the ±t_assoc nearest-pick match has no
+    # other QC) throws it by a full magnitude unit — the heavy validation
+    # tail. The reference's calibration fits on its own associated catalog
+    # where events carry full pick sets (ref
+    # calibrate_and_apply_magnitude_scale.py:640-713).
+    if args.min_obs > 1:
+        ev_ids, ev_counts = np.unique(obs_ev, return_counts=True)
+        ok_ev = set(ev_ids[ev_counts >= args.min_obs].tolist())
+        keep = np.array([e in ok_ev for e in obs_ev])
+        obs_src, obs_sta, obs_ph, obs_amp, obs_mag, obs_ev = (
+            obs_src[keep], obs_sta[keep], obs_ph[keep], obs_amp[keep],
+            obs_mag[keep], obs_ev[keep])
     print(f"{len(obs_src)} amplitude observations from "
-          f"{len(np.unique(obs_ev))} events")
+          f"{len(np.unique(obs_ev))} events (min_obs={args.min_obs})")
     if len(obs_src) < 30:
         print(json.dumps({"error": "too few observations"}))
         return
