@@ -117,20 +117,33 @@ def bench_torch_cpu():
     return EDGES / dt, dt
 
 
-def wait_for_tpu_tunnel(timeout_s: float = 300.0):
+TPU_STAGE_PIDFILE = "/root/repo/projects/NC_EHZ/.tpu_stage.pid"
+
+
+def wait_for_tpu_tunnel(timeout_s: float = 300.0, pidfile: str = TPU_STAGE_PIDFILE):
     """The axon TPU tunnel admits ONE client. Long-running campaign stages
     (training, day processing) record their PID in a well-known pidfile;
     wait for the active stage to exit, then — as a last resort so the
     benchmark always lands — stop that exact recorded PID (never a pattern).
-    Checkpointing every 250 steps bounds what a stop can lose."""
+    Checkpointing every 250 steps bounds what a stop can lose.
+
+    Safety: a stale pidfile (stage died without cleanup, PID reused by an
+    unrelated process) must never cause a kill — the recorded PID is only
+    acted on if its /proc cmdline looks like one of our python stages."""
     import os
     import signal
 
-    pidfile = "/root/repo/projects/NC_EHZ/.tpu_stage.pid"
     try:
         pid = int(open(pidfile).read().strip())
     except (OSError, ValueError):
         return
+
+    def is_our_stage(p):
+        try:
+            cmd = open(f"/proc/{p}/cmdline", "rb").read().replace(b"\0", b" ")
+        except OSError:
+            return False
+        return b"python" in cmd
 
     def alive(p):
         try:
@@ -139,15 +152,30 @@ def wait_for_tpu_tunnel(timeout_s: float = 300.0):
         except OSError:
             return False
 
+    if not is_our_stage(pid):  # stale file / reused PID: never touch it
+        try:
+            os.remove(pidfile)
+        except OSError:
+            pass
+        return
+
     t0 = time.time()
     while alive(pid):
         if time.time() - t0 > timeout_s:
-            os.kill(pid, signal.SIGTERM)
-            time.sleep(20)
-            if alive(pid):
-                os.kill(pid, signal.SIGKILL)
+            try:
+                if is_our_stage(pid):
+                    os.kill(pid, signal.SIGTERM)
+                time.sleep(20)
+                if alive(pid) and is_our_stage(pid):
+                    os.kill(pid, signal.SIGKILL)
+            except OSError:  # TOCTOU: target exited between checks
+                pass
             break
         time.sleep(10)
+    try:
+        os.remove(pidfile)  # reclaimed: drop the now-dead record
+    except OSError:
+        pass
     time.sleep(10)  # let the tunnel release
 
 

@@ -4,6 +4,7 @@ library calls; see ``scripts/`` for the CLI wrappers)."""
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 
@@ -149,7 +150,14 @@ def build_fmm_tables(cfg: Config, proj: Projection, sta_lla, out_dir,
         t0 = time.time()
         Tp = fast_march(vol_p, h, sta_cart[j][None], origin=lo)
         Ts = fast_march(vol_s, h, sta_cart[j][None], origin=lo)
-        np.savez_compressed(out_path, Tp=Tp, Ts=Ts, origin=lo, h=h, shape=shape)
+        # atomic publish: the idempotent-restart skip above trusts existence,
+        # so a shard killed mid-save must never leave a truncated file behind
+        # (dotfile so globs/ls of completed tables never count it; keeps the
+        # .npz suffix or np.savez would append another one)
+        tmp_path = out_path.with_name(
+            f".tmp_{out_path.stem}.{os.getpid()}.npz")
+        np.savez_compressed(tmp_path, Tp=Tp, Ts=Ts, origin=lo, h=h, shape=shape)
+        os.replace(tmp_path, out_path)
         if verbose:
             print(f"station {j}: fmm {time.time() - t0:.1f}s grid {shape}")
     return shape, lo, h

@@ -28,8 +28,25 @@ if [ "$(count)" -lt "$N_STA" ]; then
       > "$R/fmm_$j.log" 2>&1 &
   done
   wait
-  # other shard processes may still be running outside this script
-  while [ "$(count)" -lt "$N_STA" ]; do sleep 15; done
+  # Our shards are done; other shard processes may still be running outside
+  # this script — wait for them, but bounded: if the count stops advancing
+  # for 10 minutes, a foreign shard crashed, so re-dispatch the stragglers
+  # ourselves (the FMM builder is idempotent and skips completed stations).
+  stall=0; prev=$(count)
+  while [ "$(count)" -lt "$N_STA" ]; do
+    sleep 15
+    cur=$(count)
+    if [ "$cur" -gt "$prev" ]; then stall=0; prev=$cur; else stall=$((stall+15)); fi
+    if [ "$stall" -ge 600 ]; then
+      echo "[chain] FMM stalled at $cur/$N_STA; re-dispatching stragglers"
+      PYTHONPATH= JAX_PLATFORMS=cpu python scripts/nc_fmm_build.py 0 1 \
+        >> "$R/fmm_retry.log" 2>&1
+      if [ "$(count)" -lt "$N_STA" ]; then
+        echo "[chain] FMM still incomplete after retry; aborting" >&2
+        exit 1
+      fi
+    fi
+  done
   echo "[chain] FMM done $(date -u +%H:%M:%S)"
 fi
 
@@ -39,16 +56,24 @@ PIDFILE=$R/.tpu_stage.pid
 tpu_stage() {  # tpu_stage <log> <cmd...>
   local log=$1; shift
   "$@" > "$log" 2>&1 &
-  echo $! > "$PIDFILE"
-  wait $!
+  local pid=$!
+  echo $pid > "$PIDFILE"
+  wait $pid
   local rc=$?
-  rm -f "$PIDFILE"
+  # Only clean up OUR record: a watchdog may have restarted the stage and
+  # rewritten the pidfile with the new PID — never remove someone else's.
+  if [ "$(cat "$PIDFILE" 2>/dev/null)" = "$pid" ]; then rm -f "$PIDFILE"; fi
   return $rc
 }
 
 if [ ! -f "$R/Grids/pinn_nc.pkl" ]; then
   echo "[chain] PINN start $(date -u +%H:%M:%S)"
   tpu_stage "$R/pinn.log" python scripts/nc_pinn.py --steps 25000
+  rc=$?
+  if [ "$rc" -ne 0 ] || [ ! -f "$R/Grids/pinn_nc.pkl" ]; then
+    echo "[chain] PINN stage failed (rc=$rc, artifact $([ -f "$R/Grids/pinn_nc.pkl" ] && echo present || echo absent)); aborting" >&2
+    exit 1
+  fi
   echo "[chain] PINN done $(date -u +%H:%M:%S)"
 fi
 

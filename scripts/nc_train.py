@@ -210,12 +210,16 @@ def main():
             log.write(line + "\n")
             log.flush()
         if (i + 1) % args.ckpt_every == 0 or i == args.steps - 1:
-            ckpt.write_bytes(pickle.dumps({
+            # atomic: a watchdog SIGKILL mid-write must never truncate the
+            # only checkpoint — write a temp in the same dir, then replace
+            tmp = ckpt.with_suffix(".pkl.tmp")
+            tmp.write_bytes(pickle.dumps({
                 "params": jax.tree.map(np.asarray, state.params),
                 "opt_state": jax.tree.map(
                     lambda a: np.asarray(a) if hasattr(a, "dtype") else a,
                     state.opt_state),
                 "step": i + 1}))
+            tmp.replace(ckpt)
     print("done", flush=True)
 
 

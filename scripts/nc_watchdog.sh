@@ -45,8 +45,9 @@ while true; do
   fi
   nohup $TRAIN_CMD >> "$LOG" 2>&1 &
   PID=$!
-  # keep the TPU-tunnel pidfile pointing at the live stage (bench.py guard)
-  if [ -f "$RUN/../.tpu_stage.pid" ]; then echo $PID > "$RUN/../.tpu_stage.pid"; fi
+  # The watchdog owns the TPU-tunnel pidfile across restarts (bench.py guard
+  # reads it): write unconditionally so a restarted stage is never untracked.
+  echo $PID > "$RUN/../.tpu_stage.pid"
   echo "[watchdog] restarted as pid $PID" >> "$LOG"
   sleep "$GRACE_S"   # grace for restart preamble/compile
 done

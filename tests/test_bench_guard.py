@@ -1,8 +1,10 @@
 """The bench.py TPU-tunnel guard: waits for the pidfile'd campaign stage,
-then reclaims the tunnel by stopping that exact PID (never a pattern)."""
+then reclaims the tunnel by stopping that exact PID (never a pattern).
+
+Every test points wait_for_tpu_tunnel at a tmp_path pidfile so the suite can
+never touch a live campaign stage recorded at the real well-known path."""
 
 import os
-import signal
 import subprocess
 import sys
 import time
@@ -10,12 +12,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
 
 
-def test_wait_returns_immediately_without_pidfile(tmp_path, monkeypatch):
+def test_wait_returns_immediately_without_pidfile(tmp_path):
     import bench
+
     t0 = time.time()
-    monkeypatch.setattr(bench, "wait_for_tpu_tunnel", bench.wait_for_tpu_tunnel)
-    # no pidfile at the well-known path is the common case on a dev box
-    bench.wait_for_tpu_tunnel(timeout_s=0.1)
+    bench.wait_for_tpu_tunnel(timeout_s=0.1,
+                              pidfile=str(tmp_path / ".tpu_stage.pid"))
     assert time.time() - t0 < 5.0
 
 
@@ -23,25 +25,44 @@ def test_wait_outlasts_short_stage_and_kills_long_stage(tmp_path, monkeypatch):
     import bench
 
     pidfile = tmp_path / ".tpu_stage.pid"
-    # patch the well-known path by running the loop body against a fake stage
     proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
     pidfile.write_text(str(proc.pid))
 
-    real_open = open
-
-    def fake_open(path, *a, **k):
-        if str(path).endswith(".tpu_stage.pid"):
-            return real_open(pidfile, *a, **k)
-        return real_open(path, *a, **k)
-
-    import builtins
-    monkeypatch.setattr(builtins, "open", fake_open)
     monkeypatch.setattr(time, "sleep", lambda s: None)  # fast-forward waits
     t0 = time.time()
-    bench.wait_for_tpu_tunnel(timeout_s=0.0)  # immediate last-resort path
+    bench.wait_for_tpu_tunnel(timeout_s=0.0, pidfile=str(pidfile))
     # stage must be gone (SIGTERM then SIGKILL)
     deadline = time.time() + 10
     while proc.poll() is None and time.time() < deadline:
         pass
     assert proc.poll() is not None
     assert time.time() - t0 < 30
+    assert not pidfile.exists()  # reclaimed record removed
+
+
+def test_stale_pid_of_foreign_process_is_never_killed(tmp_path, monkeypatch):
+    """PID reuse: a pidfile pointing at a non-python process must be treated
+    as stale — removed, nothing signalled."""
+    import bench
+
+    pidfile = tmp_path / ".tpu_stage.pid"
+    proc = subprocess.Popen(["sleep", "60"])  # alive but NOT a python stage
+    pidfile.write_text(str(proc.pid))
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    bench.wait_for_tpu_tunnel(timeout_s=0.0, pidfile=str(pidfile))
+    assert proc.poll() is None  # untouched
+    assert not pidfile.exists()  # stale record cleaned up
+    proc.kill()
+    proc.wait()
+
+
+def test_dead_pid_is_cleaned_up_without_error(tmp_path, monkeypatch):
+    import bench
+
+    pidfile = tmp_path / ".tpu_stage.pid"
+    proc = subprocess.Popen([sys.executable, "-c", "pass"])
+    proc.wait()  # guaranteed dead; PID almost certainly not yet reused
+    pidfile.write_text(str(proc.pid))
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    bench.wait_for_tpu_tunnel(timeout_s=0.0, pidfile=str(pidfile))
+    assert not pidfile.exists()
