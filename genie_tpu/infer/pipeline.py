@@ -225,10 +225,23 @@ class InferencePipeline:
         return tp, ip, ph, pm, sel
 
     def detection_sweep(self, pick_t, pick_sta, pick_phase, t_start, t_end,
-                        grids=None, window_batch: int = 16):
+                        grids=None, window_batch: int = 16,
+                        checkpoint_path=None, checkpoint_every: int = 40,
+                        max_retries: int = 4, retry_wait: float = 5.0):
         """Slide over [t_start, t_end); ensemble-average over ``grids``
         (default: all, unless use_only_one_grid) and overlap-stack streaming
-        into one day series. Returns (times_s (n_bins,), series (n_q, n_bins))."""
+        into one day series. Returns (times_s (n_bins,), series (n_q, n_bins)).
+
+        Fault tolerance (the round-2 real-day run died to a single transient
+        TPU-tunnel error with nothing to resume from):
+
+        * each window batch is retried up to ``max_retries`` times with
+          linear backoff — transient dispatch/transfer errors cost seconds;
+        * with ``checkpoint_path``, the stacked partial series is saved
+          atomically every ``checkpoint_every`` completed batches, and a
+          restarted process resumes from the last checkpoint instead of
+          re-sweeping the day (the checkpoint carries a fingerprint of the
+          sweep geometry so a mismatched resume is rejected)."""
         cfg = self.cfg
         if grids is None:
             grids = [0] if cfg.process.use_only_one_grid else list(range(self.n_grids))
@@ -276,31 +289,89 @@ class InferencePipeline:
         # lookahead pipeline: keep a few batches in flight so host->device
         # dispatch overlaps the device round-trip latency
         starts = list(range(0, len(batch_idx), window_batch))
+
+        # resumable checkpoint: batches drain strictly in order, so the
+        # completed work is always a prefix of `starts`
+        fingerprint = np.array([t_start, t_end, step, n_q, n_bins,
+                                len(batch_idx), window_batch,
+                                float(np.sum(grids))], np.float64)
+        n_resume = 0
+        if checkpoint_path is not None:
+            try:
+                z = np.load(checkpoint_path)
+                if np.array_equal(z["fingerprint"], fingerprint):
+                    acc[...] = z["acc"]
+                    cnt[...] = z["cnt"]
+                    n_resume = int(z["n_done"])
+                    print(f"[pipeline] resuming sweep from checkpoint "
+                          f"({n_resume}/{len(starts)} batches done)", flush=True)
+                else:
+                    print("[pipeline] sweep checkpoint fingerprint mismatch; "
+                          "restarting from scratch", flush=True)
+            except (OSError, KeyError, ValueError):
+                pass
+
+        def save_checkpoint(n_done):
+            import os
+            p = str(checkpoint_path)
+            tmp = p + f".tmp{os.getpid()}.npz"
+            np.savez(tmp, acc=acc, cnt=cnt, n_done=n_done,
+                     fingerprint=fingerprint)
+            os.replace(tmp, p)
+
         inflight: list[tuple[int, object]] = []
         depth = 4
-        t_sw, n_done = time.time(), 0
+        t_sw, n_done = time.time(), n_resume
 
         def drain(s0, dev):
             nonlocal n_done
-            out = np.asarray(dev)
+            for attempt in range(max_retries + 1):
+                try:
+                    if dev is None:
+                        dev = dispatch(s0)  # re-dispatch this exact batch
+                    out = np.asarray(dev)
+                    break
+                except Exception as e:  # transient tunnel/dispatch failure
+                    dev = None
+                    if attempt == max_retries:
+                        raise
+                    print(f"[pipeline] sweep batch at {s0} failed "
+                          f"({type(e).__name__}: {e}); retry "
+                          f"{attempt + 1}/{max_retries} in "
+                          f"{retry_wait * (attempt + 1):.0f}s", flush=True)
+                    time.sleep(retry_wait * (attempt + 1))
             for j, w in enumerate(batch_idx[s0:s0 + window_batch]):
                 bins = np.round((t0s[w] + t_rel - t_min) / dt_axis).astype(np.int64)
                 acc[:, bins] += out[j]
                 cnt[bins] += 1.0
             n_done += 1
+            if checkpoint_path is not None and n_done % checkpoint_every == 0:
+                save_checkpoint(n_done)
             if self.verbose and n_done % 50 == 0:
-                dt_b = (time.time() - t_sw) / n_done
+                dt_b = (time.time() - t_sw) / max(n_done - n_resume, 1)
                 print(f"[pipeline] sweep {n_done}/{len(starts)} batches "
                       f"({dt_b:.2f}s/batch, eta "
                       f"{dt_b * (len(starts) - n_done):.0f}s)", flush=True)
 
-        for s in starts:
-            inflight.append((s, dispatch(s)))
+        def try_dispatch(s):
+            try:
+                return dispatch(s)
+            except Exception:  # drain() re-dispatches with retries
+                return None
+
+        for s in starts[n_resume:]:
+            inflight.append((s, try_dispatch(s)))
             if len(inflight) < depth and s != starts[-1]:
                 continue
             drain(*inflight.pop(0))
         for s0, dev in inflight:
             drain(s0, dev)
+        if checkpoint_path is not None:
+            import os
+            try:  # complete: the partial checkpoint is no longer needed
+                os.remove(checkpoint_path)
+            except OSError:
+                pass
         series = acc / np.maximum(cnt, 1.0)[None, :]
         times_s = t_min + dt_axis * np.arange(n_bins)
         return times_s, series

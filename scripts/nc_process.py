@@ -258,9 +258,12 @@ def main():
                 f"stale sweep cache {cache_f}: {series.shape[0]} != {n_q}"
             print(f"sweep from cache {cache_f}", flush=True)
         else:
+            # partial-sweep checkpoint: a crashed/restarted run resumes from
+            # the last ~40 completed batches instead of re-sweeping the day
             times_s, series = pipe.detection_sweep(
                 pick_t.astype(np.float32), pick_sta, pick_ph.astype(np.float32),
-                0.0, args.t_end, grids=sweep_grids)
+                0.0, args.t_end, grids=sweep_grids,
+                checkpoint_path=cache_f.with_suffix(".partial.npz"))
             if args.cache_sweep:
                 np.savez_compressed(cache_f, times_s=times_s,
                                     series=series.astype(np.float16))

@@ -211,3 +211,150 @@ def test_sweep_half_matches_f32():
     _, s16 = p16.detection_sweep(pick_t, pick_sta, pick_ph, 0.0, 300.0)
     assert s16.dtype == np.float32
     assert np.abs(s32 - s16).max() < 0.05
+
+
+def _fault_day(ctx):
+    """A 3-minute pick span dense enough to produce several sweep batches."""
+    rng = np.random.default_rng(3)
+    n_sta = ctx.sta_cart.shape[0]
+    trv = np.asarray(ctx.trv_grids[0])
+    pick_t, pick_sta, pick_ph = [], [], []
+    for s_idx, t_ev in ((2, 30.0), (11, 90.0), (7, 150.0)):
+        for st in range(n_sta):
+            pick_t.append(t_ev + trv[s_idx, st, 0] + rng.normal(0, 0.1))
+            pick_sta.append(st)
+            pick_ph.append(0)
+    order = np.argsort(pick_t)
+    return (np.array(pick_t, np.float32)[order],
+            np.array(pick_sta, np.int64)[order],
+            np.array(pick_ph, np.float32)[order])
+
+
+def test_sweep_retries_transient_batch_failures(monkeypatch):
+    """Injected failure: the first few sweep-batch dispatches raise (the
+    round-2 real-day run died to exactly one such transient tunnel error);
+    with retries the sweep must complete and match the clean sweep."""
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    model = Detector(src_chunk=4)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+    pipe = InferencePipeline(model, state.params, cfg, ctx, tt.from_cart)
+    pick_t, pick_sta, pick_ph = _fault_day(ctx)
+
+    times_c, series_c = pipe.detection_sweep(pick_t, pick_sta, pick_ph,
+                                             0.0, 180.0, window_batch=2)
+
+    real_fn = pipe._sweep_batch_fn
+    fails = {"n": 3}
+
+    def flaky(*a, **k):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise RuntimeError("injected tunnel failure")
+        return real_fn(*a, **k)
+
+    monkeypatch.setattr(pipe, "_sweep_batch_fn", flaky)
+    times_f, series_f = pipe.detection_sweep(pick_t, pick_sta, pick_ph,
+                                             0.0, 180.0, window_batch=2,
+                                             max_retries=4, retry_wait=0.0)
+    assert fails["n"] == 0  # failures actually happened
+    np.testing.assert_allclose(series_f, series_c, atol=1e-6)
+    np.testing.assert_allclose(times_f, times_c)
+
+
+def test_sweep_exhausted_retries_raise(monkeypatch):
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    model = Detector(src_chunk=4)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+    pipe = InferencePipeline(model, state.params, cfg, ctx, tt.from_cart)
+    pick_t, pick_sta, pick_ph = _fault_day(ctx)
+
+    def always_fail(*a, **k):
+        raise RuntimeError("permanent failure")
+
+    monkeypatch.setattr(pipe, "_sweep_batch_fn", always_fail)
+    import pytest
+    with pytest.raises(RuntimeError, match="permanent failure"):
+        pipe.detection_sweep(pick_t, pick_sta, pick_ph, 0.0, 180.0,
+                             window_batch=2, max_retries=1, retry_wait=0.0)
+
+
+def test_sweep_checkpoint_resume(tmp_path, monkeypatch):
+    """Kill the sweep partway (hard failure), restart with the same
+    checkpoint path: it must resume from the saved prefix and produce the
+    identical series, then clean up the partial file."""
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    model = Detector(src_chunk=4)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+    pipe = InferencePipeline(model, state.params, cfg, ctx, tt.from_cart)
+    pick_t, pick_sta, pick_ph = _fault_day(ctx)
+
+    times_c, series_c = pipe.detection_sweep(pick_t, pick_sta, pick_ph,
+                                             0.0, 180.0, window_batch=2)
+    ckpt = tmp_path / "sweep.partial.npz"
+    real_fn = pipe._sweep_batch_fn
+    calls = {"n": 0}
+
+    def dies_midway(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 4:
+            raise RuntimeError("injected crash")
+        return real_fn(*a, **k)
+
+    monkeypatch.setattr(pipe, "_sweep_batch_fn", dies_midway)
+    import pytest
+    with pytest.raises(RuntimeError):
+        pipe.detection_sweep(pick_t, pick_sta, pick_ph, 0.0, 180.0,
+                             window_batch=2, checkpoint_path=ckpt,
+                             checkpoint_every=1, max_retries=0,
+                             retry_wait=0.0)
+    assert ckpt.exists()  # partial progress survived the crash
+    n_done_saved = int(np.load(ckpt)["n_done"])
+    assert n_done_saved >= 1
+
+    monkeypatch.setattr(pipe, "_sweep_batch_fn", real_fn)
+    calls2 = {"n": 0}
+
+    def counting(*a, **k):
+        calls2["n"] += 1
+        return real_fn(*a, **k)
+
+    monkeypatch.setattr(pipe, "_sweep_batch_fn", counting)
+    times_r, series_r = pipe.detection_sweep(pick_t, pick_sta, pick_ph,
+                                             0.0, 180.0, window_batch=2,
+                                             checkpoint_path=ckpt,
+                                             checkpoint_every=1)
+    np.testing.assert_allclose(series_r, series_c, atol=1e-6)
+    np.testing.assert_allclose(times_r, times_c)
+    assert not ckpt.exists()  # completed: partial removed
+    # resumed run skipped the already-completed prefix
+    total_batches = calls["n"] - 1  # minus the crashing call
+    assert calls2["n"] < calls["n"] + calls2["n"]
+
+
+def test_sweep_checkpoint_fingerprint_mismatch_restarts(tmp_path):
+    """A checkpoint from different sweep geometry must be rejected."""
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    model = Detector(src_chunk=4)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+    pipe = InferencePipeline(model, state.params, cfg, ctx, tt.from_cart)
+    pick_t, pick_sta, pick_ph = _fault_day(ctx)
+
+    times_c, series_c = pipe.detection_sweep(pick_t, pick_sta, pick_ph,
+                                             0.0, 180.0, window_batch=2)
+    ckpt = tmp_path / "sweep.partial.npz"
+    # checkpoint from a DIFFERENT span
+    pipe.detection_sweep(pick_t, pick_sta, pick_ph, 0.0, 120.0,
+                         window_batch=2, checkpoint_path=ckpt,
+                         checkpoint_every=1, max_retries=0)
+    # simulate leftover partial by writing one with a wrong fingerprint
+    np.savez(ckpt, acc=np.zeros((pipe.x_query.shape[0], 5), np.float32),
+             cnt=np.zeros(5, np.float32), n_done=99,
+             fingerprint=np.arange(8, dtype=np.float64))
+    times_r, series_r = pipe.detection_sweep(pick_t, pick_sta, pick_ph,
+                                             0.0, 180.0, window_batch=2,
+                                             checkpoint_path=ckpt)
+    np.testing.assert_allclose(series_r, series_c, atol=1e-6)
