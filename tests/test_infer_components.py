@@ -258,3 +258,57 @@ def test_competitive_assignment_heuristic_near_exact():
         if bf > 0:
             worst = min(worst, obj / bf)
     assert worst >= 0.98, worst
+
+
+def test_exact_enumeration_covers_11_to_15_source_band():
+    """The reference ILP is exact up to the max_sources_per_component=15
+    split bound; the memoized component enumeration must match brute force
+    on the 11-15-source band that previously fell to the heuristic (VERDICT
+    round-2 item 6). Instances mirror real components: many stations, each
+    arrival scoring only a few nearby sources, so per-station relevant sets
+    stay small and the enumeration stays within its work budget (asserted:
+    the exact path must actually run, not the fallback)."""
+    from genie_tpu.infer.assign import _exact_enumeration
+
+    rng = np.random.default_rng(7)
+    n_exact = 0
+    for trial in range(12):
+        n_src = int(rng.integers(11, 16))
+        n_sta = int(rng.integers(8, 16))
+        n_arv = int(rng.integers(10, 26))
+        ipick = rng.integers(0, n_sta, n_arv)
+        w = rng.uniform(0, 1, (n_arv, n_src, 2))
+        w *= rng.uniform(0, 1, (n_arv, n_src, 2)) > 0.88  # sparse: real graphs
+        cost = float(rng.uniform(0.1, 1.0))
+        res = _exact_enumeration(w, ipick, cost, 0.0)
+        assert res is not None, f"trial {trial} fell to the budget fallback"
+        n_exact += 1
+        assign, active = competitive_assignment(w, ipick, cost)
+        tot = sum(w[i, assign[i, 0], assign[i, 1]]
+                  for i in range(n_arv) if assign[i, 0] >= 0)
+        obj = tot - cost * active.sum()
+        bf = _brute_force_assignment_obj(w, ipick, cost)
+        assert obj >= bf - 1e-9, (trial, obj, bf)
+        # assignments must respect the (station, source, phase) capacity
+        for s in np.unique(ipick):
+            rows = np.where((ipick == s) & (assign[:, 0] >= 0))[0]
+            slots = [tuple(assign[r]) for r in rows]
+            assert len(slots) == len(set(slots))
+    assert n_exact == 12
+
+
+def test_dense_component_falls_back_to_heuristic_within_gap():
+    """Pathologically dense components exceed the enumeration work budget
+    and fall to the flip heuristic; bound its gap vs brute force there."""
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        n_src, n_sta, n_arv = 12, 4, 16
+        ipick = rng.integers(0, n_sta, n_arv)
+        w = rng.uniform(0.05, 1, (n_arv, n_src, 2))  # fully dense
+        cost = float(rng.uniform(0.2, 0.8))
+        assign, active = competitive_assignment(w, ipick, cost)
+        tot = sum(w[i, assign[i, 0], assign[i, 1]]
+                  for i in range(n_arv) if assign[i, 0] >= 0)
+        obj = tot - cost * active.sum()
+        bf = _brute_force_assignment_obj(w, ipick, cost)
+        assert obj >= 0.97 * bf - 1e-9, (obj, bf)
