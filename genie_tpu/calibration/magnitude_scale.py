@@ -62,32 +62,51 @@ def apply_magnitudes(events, model, params, sta_cart, grid_cart, pick_sta,
     return events
 
 
-def fit_magnitude_distance_model(mags, dists, n_grid: int = 30):
+def _softplus_dist(m, a, b, c, d0):
+    return a * np.log1p(np.exp(np.clip(b * (np.asarray(m) - c), -50, 50))) + d0
+
+
+def fit_magnitude_distance_params(mags, dists, n_grid: int = 30,
+                                  quantile: float = 0.95):
     """Fit the monotone magnitude → max-association-distance relation
-    (ref :786-884: MLP then parametric Softplus fit). Here: isotonic-style
-    binned quantile fit + Softplus parametric least squares; returns a
-    callable dist(mag)."""
+    (ref calibrate_and_apply_magnitude_scale.py:786-884: MLP then parametric
+    Softplus fit; saved as distance_magnitude_model npz). Here: binned
+    ``quantile`` fit with enforced monotonicity + Softplus parametric least
+    squares. Returns a picklable params dict for
+    :func:`eval_magnitude_distance`."""
     mags = np.asarray(mags)
     dists = np.asarray(dists)
     bins = np.linspace(mags.min(), mags.max() + 1e-6, n_grid)
-    centers, q95 = [], []
+    centers, qv = [], []
     for lo, hi in zip(bins[:-1], bins[1:]):
         sel = (mags >= lo) & (mags < hi)
         if sel.sum() >= 3:
             centers.append(0.5 * (lo + hi))
-            q95.append(np.quantile(dists[sel], 0.95))
+            qv.append(np.quantile(dists[sel], quantile))
     centers = np.asarray(centers)
-    q95 = np.maximum.accumulate(np.asarray(q95))  # enforce monotone
+    qv = np.maximum.accumulate(np.asarray(qv))  # enforce monotone
 
     # parametric: d(m) = a * softplus(b * (m - c)) + d0
     from scipy.optimize import curve_fit
 
-    def f(m, a, b, c, d0):
-        return a * np.log1p(np.exp(b * (m - c))) + d0
-
     try:
-        p0 = (q95.ptp() if len(q95) else 1e5, 1.0, float(np.median(centers)), q95.min())
-        popt, _ = curve_fit(f, centers, q95, p0=p0, maxfev=20000)
-        return lambda m: f(np.asarray(m), *popt)
+        p0 = (qv.ptp() if len(qv) else 1e5, 1.0, float(np.median(centers)), qv.min())
+        popt, _ = curve_fit(_softplus_dist, centers, qv, p0=p0, maxfev=20000)
+        return {"kind": "softplus", "popt": np.asarray(popt, np.float64),
+                "centers": centers, "q": qv}
     except Exception:
-        return lambda m: np.interp(np.asarray(m), centers, q95)
+        return {"kind": "interp", "centers": centers, "q": qv}
+
+
+def eval_magnitude_distance(params, m):
+    """Evaluate the fitted magnitude → max-association-distance curve."""
+    if params.get("kind") == "softplus":
+        return _softplus_dist(m, *params["popt"])
+    return np.interp(np.asarray(m), params["centers"], params["q"])
+
+
+def fit_magnitude_distance_model(mags, dists, n_grid: int = 30):
+    """Callable-returning wrapper around
+    :func:`fit_magnitude_distance_params` (kept for API compatibility)."""
+    params = fit_magnitude_distance_params(mags, dists, n_grid=n_grid)
+    return lambda m: eval_magnitude_distance(params, m)

@@ -197,6 +197,11 @@ class TrainConfig:
     # counteracts the sparse-label gradient starvation of the detection
     # heads at large grids (0 = reference-equivalent plain MSE)
     positive_boost: float = 0.0
+    # optional sensitivity (location-covariance) regularizer on the
+    # association scores (ref train_GENIE_model.py:1792-1829, off by
+    # default there too; the reference's weight is 2e-6)
+    sensitivity_weight: float = 0.0
+    sensitivity_sig_d: float = 0.15   # assumed pick uncertainty (s)
 
 
 @dataclass

@@ -649,9 +649,42 @@ class InferencePipeline:
         if self.mag is None or pick_amp is None:
             return events
         from genie_tpu.calibration.magnitude_scale import apply_magnitudes
-        return apply_magnitudes(events, self.mag["model"], self.mag["params"],
-                                np.asarray(self.ctx.sta_cart),
-                                self.mag["grid_cart"], pick_sta, pick_amp)
+        events = apply_magnitudes(events, self.mag["model"], self.mag["params"],
+                                  np.asarray(self.ctx.sta_cart),
+                                  self.mag["grid_cart"], pick_sta, pick_amp)
+        return self.magnitude_distance_qc(events, pick_sta)
+
+    def magnitude_distance_qc(self, events, pick_sta, margin: float = 1.5):
+        """Association QC from the fitted magnitude → max-association-
+        distance model (ref calibrate_and_apply_magnitude_scale.py:786-884):
+        picks whose epicentral distance exceeds ``margin``× the plausible
+        distance for the event's magnitude are dropped, then the min
+        picks/stations filter re-applies. No-op unless the magnitude model
+        dict carries ``dist_model`` params (nc_magnitude.py --save fits them
+        and the reference saves the analogous distance_magnitude_model npz)."""
+        dm = (self.mag or {}).get("dist_model")
+        if dm is None:
+            return events
+        from genie_tpu.calibration.magnitude_scale import eval_magnitude_distance
+        sta = np.asarray(self.ctx.sta_cart)
+        out = []
+        for ev in events:
+            if ev.mag is None or not np.isfinite(ev.mag):
+                out.append(ev)
+                continue
+            d_max = margin * float(eval_magnitude_distance(dm, ev.mag))
+            d = np.linalg.norm(sta[pick_sta[ev.picks], :2]
+                               - ev.pos_cart[None, :2], axis=1)
+            keep = d <= d_max
+            if not keep.all():
+                ev.picks = ev.picks[keep]
+                ev.pick_phases = ev.pick_phases[keep]
+                if (len(ev.picks) < self.cfg.process.min_required_picks or
+                        len(np.unique(pick_sta[ev.picks]))
+                        < self.cfg.process.min_required_sta):
+                    continue
+            out.append(ev)
+        return out
 
     # -- full day ----------------------------------------------------------
     def process(self, pick_t, pick_sta, pick_phase, t_start, t_end,

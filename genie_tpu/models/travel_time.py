@@ -24,6 +24,7 @@ from typing import Protocol
 
 import jax
 import jax.numpy as jnp
+import flax.linen as nn
 
 from genie_tpu.geometry import Projection
 
@@ -98,3 +99,60 @@ class GridTravelTime:
         idxs = (jnp.arange(src_lla.shape[0]) if sta_indices is None
                 else jnp.asarray(sta_indices))
         return jax.vmap(lambda s, i: self._interp(s[None], i)[0])(src_lla, idxs)
+
+
+class _ReluMLP(nn.Module):
+    """3×80 ReLU MLP head (the reference's fc1..fc4 Sequentials)."""
+
+    n_out: int = 1
+    n_hidden: int = 80
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(3):
+            x = nn.relu(nn.Dense(self.n_hidden)(x))
+        return nn.Dense(self.n_out)(x)
+
+
+class LegacyTravelTimes(nn.Module):
+    """The legacy two-branch travel-time surrogate with validity-mask heads.
+    Ref: module.py:1190-1321 (TravelTimes) — time = tscale·(fc1(relative
+    offset) + fc2(absolute positions)), valid-prediction gate =
+    sigmoid(fc3(relative) + fc4(absolute)); ``train`` randomly drops the
+    absolute branch (p=0.5) so the relative-offset model stays accurate
+    stand-alone outside the sampled source region (ref forward_train /
+    forward_mask_train), and ``relative=True`` uses only the fc1/fc3
+    branches (ref forward_relative / forward_mask_relative — the path used
+    when not physics-informed).
+
+    Inputs are Cartesian and pre-scaled by ``scale_val`` internally; output
+    shape (n_src, n_sta, n_phases)."""
+
+    n_phases: int = 2
+    scale_val: float = 1e6
+    trav_val: float = 200.0
+
+    @nn.compact
+    def __call__(self, sta_cart, src_cart, train: bool = False,
+                 relative: bool = False, drop_p: float = 0.5, rng=None):
+        sta = sta_cart / self.scale_val
+        src = src_cart / self.scale_val
+        rel = sta[None, :, :] - src[:, None, :]                # (S, n_sta, 3)
+        absq = jnp.concatenate(
+            (jnp.broadcast_to(sta[None], rel.shape),
+             jnp.broadcast_to(src[:, None], rel.shape)), axis=-1)
+        t = _ReluMLP(self.n_phases, name="fc1")(rel)
+        m = _ReluMLP(self.n_phases, name="fc3")(rel)
+        if not relative:
+            t_abs = _ReluMLP(self.n_phases, name="fc2")(absq)
+            m_abs = _ReluMLP(self.n_phases, name="fc4")(absq)
+            if train:
+                if rng is None:
+                    rng = self.make_rng("dropout")
+                keep = (jax.random.uniform(rng, rel.shape[:2] + (1,))
+                        > drop_p).astype(t.dtype)
+                t_abs = t_abs * keep
+                m_abs = m_abs * keep
+            t = t + t_abs
+            m = m + m_abs
+        return self.trav_val * t, jax.nn.sigmoid(m)

@@ -31,7 +31,6 @@ import flax.linen as nn
 
 from genie_tpu.models.layers import PReLU
 from genie_tpu.ops.knn import knn
-from genie_tpu.ops.segment import gather_mean_src_axis, gather_mean_sta_axis
 
 
 class RelocGraph(NamedTuple):
@@ -68,6 +67,12 @@ class RelocGraph(NamedTuple):
     dt_w: jnp.ndarray = None        # (n_dt,) weight
     dt_t: jnp.ndarray = None        # (n_dt,) observed differential time
     dt_mask: jnp.ndarray = None     # (n_dt,) bool
+    # optional calibration reference (matched catalog events; ref
+    # train_double_difference_model.py:830-854): pulls matched relocated
+    # sources toward the reference locations in travel-time space
+    ref_pos: jnp.ndarray = None     # (S, 3) reference Cartesian positions
+    ref_time: jnp.ndarray = None    # (S,) reference origin times
+    ref_mask: jnp.ndarray = None    # (S,) bool — True where matched
 
 
 def build_catalog_data(trv_from_cart, sta_cart, src_pos, src_time, obs_time, obs_mask):
@@ -345,6 +350,28 @@ def load_dtcc(path, sta_names):
             "w": np.asarray(w, np.float64), "dt": np.asarray(dt, np.float64)}
 
 
+def attach_reference(graph: RelocGraph, matched_ids, ref_pos, ref_time):
+    """Attach matched calibration-reference events (ref train_double_
+    difference_model.py:830-854): ``matched_ids[i]`` is the global catalog id
+    matched to reference event i (``ref_pos`` Cartesian, ``ref_time``
+    absolute). Sources of the graph not matched get ref_mask False."""
+    ids = np.asarray(graph.node_ids)
+    smask = np.asarray(graph.src_mask)
+    S = len(ids)
+    rp = np.zeros((S, 3), np.float32)
+    rt = np.zeros(S, np.float32)
+    rm = np.zeros(S, bool)
+    lookup = {int(g): i for i, g in enumerate(np.asarray(matched_ids))}
+    for r in range(S):
+        if smask[r] and int(ids[r]) in lookup:
+            i = lookup[int(ids[r])]
+            rp[r] = np.asarray(ref_pos)[i]
+            rt[r] = np.asarray(ref_time)[i]
+            rm[r] = True
+    return graph._replace(ref_pos=jnp.asarray(rp), ref_time=jnp.asarray(rt),
+                          ref_mask=jnp.asarray(rm))
+
+
 def attach_dtcc(graph: RelocGraph, dtcc: dict, n_dt: int = 256):
     """Map global dt.cc observations into one graph's local indices (both
     sources and the station must be present; ref subgraph(...) :1012)."""
@@ -380,42 +407,136 @@ def attach_dtcc(graph: RelocGraph, dtcc: dict, n_dt: int = 256):
     return graph._replace(**fill)
 
 
-class _DualConv(nn.Module):
-    """Edge-featured dual-relation conv round (the GraphDD DataAggregation
-    variant, ref train_double_difference_model.py:333-388)."""
+class _Seq2(nn.Module):
+    """Linear → PReLU → Linear (the reference's nn.Sequential blocks)."""
 
-    n_hidden: int = 30
+    n_hidden: int
+    n_out: int
 
     @nn.compact
-    def __call__(self, x, sta_nbr, src_nbr):
+    def __call__(self, x):
+        return nn.Dense(self.n_out)(PReLU()(nn.Dense(self.n_hidden)(x)))
+
+
+class _DDConv(nn.Module):
+    """One GraphDD DataAggregation round (ref train_double_difference_model.
+    py:333-388): dual-relation mean conv on the (source × station) product
+    where every message passes through a shared ``merge_edges`` Linear+PReLU
+    carrying the sender−receiver relative position (station offsets for the
+    same-source relation, source offsets for the same-station relation), and
+    the embedded input mask is concatenated at every linear (``n_dim_mask =
+    n_embed``). Messages from unobserved product cells are excluded from the
+    means — the reference's subgraph product contains only observed pairs.
+
+    Dense layout note: ``merge_edges(cat(x_j, e))`` is split as
+    ``Dense(x_j) + Dense_nobias(e)`` (one linear, algebraically identical),
+    so the edge term is computed once per (receiver, k) and broadcast over
+    the other product axis instead of materializing the concatenation."""
+
+    n_hidden: int = 30
+    out_channels: int = 15
+
+    @nn.compact
+    def __call__(self, x, m, sta_nbr, src_nbr, e_sta, e_src, send_mask):
+        # x: (S, n_sta, C); m: (S, n_sta, n_embed); send_mask: (S, n_sta)
+        # e_sta: (n_sta, k_sta, 3); e_src: (S, k_src, 3) — scaled offsets
         h = self.n_hidden
-        a1, a2, a3 = PReLU(), PReLU(), PReLU()
-        agg_sta = gather_mean_sta_axis(a1(nn.Dense(h)(x)), sta_nbr)
-        agg_src = gather_mean_src_axis(a2(nn.Dense(h)(x)), src_nbr)
-        return a3(nn.Dense(h)(jnp.concatenate((x, agg_sta, agg_src), -1)))
+        act = PReLU()
+        a11, a12, a1 = PReLU(), PReLU(), PReLU()
+        a21, a22, a2 = PReLU(), PReLU(), PReLU()
+        me_x = nn.Dense(h, name="merge_edges_x")
+        me_e = nn.Dense(h, use_bias=False, name="merge_edges_e")
+        me_act = PReLU()
+        fe_sta = me_e(e_sta)                       # (n_sta, k_sta, h)
+        fe_src = me_e(e_src)                       # (S, k_src, h)
+        v_sta = send_mask[:, sta_nbr]              # (S, n_sta, k_sta)
+        v_src = send_mask[src_nbr]                 # (S, k_src, n_sta)
+
+        def agg_sta(v):
+            msg = me_act(me_x(v)[:, sta_nbr] + fe_sta[None])    # (S, n_sta, k, h)
+            msg = msg * v_sta[..., None]
+            return msg.sum(2) / jnp.maximum(v_sta.sum(2), 1.0)[..., None]
+
+        def agg_src(v):
+            msg = me_act(me_x(v)[src_nbr] + fe_src[:, :, None])  # (S, k, n_sta, h)
+            msg = msg * v_src[..., None]
+            return msg.sum(1) / jnp.maximum(v_src.sum(1), 1.0)[..., None]
+
+        tr = act(nn.Dense(h, name="init_trns")(jnp.concatenate((x, m), -1)))
+        # round 1: the reference feeds act(tr) straight into propagate
+        # (l1_*_1 linears exist but are unused — behaviour preserved)
+        tr1 = nn.Dense(h, name="l1_t1_2")(jnp.concatenate((tr, agg_sta(a11(tr)), m), -1))
+        tr2 = nn.Dense(h, name="l1_t2_2")(jnp.concatenate((tr, agg_src(a12(tr)), m), -1))
+        tr = a1(jnp.concatenate((tr1, tr2), -1))
+        tr1 = nn.Dense(self.out_channels, name="l2_t1_2")(jnp.concatenate(
+            (tr, agg_sta(a21(nn.Dense(h, name="l2_t1_1")(tr))), m), -1))
+        tr2 = nn.Dense(self.out_channels, name="l2_t2_2")(jnp.concatenate(
+            (tr, agg_src(a22(nn.Dense(h, name="l2_t2_1")(tr))), m), -1))
+        return a2(jnp.concatenate((tr1, tr2), -1))
+
+
+class _DDReadOut(nn.Module):
+    """Gated bipartite readout (ref BipartiteGraphOperator(,Sta) :390-436):
+    per product cell, message = PReLU(fc1(cat(x, mask_embed, rel_pos/scale)))
+    with fc1 = Linear→PReLU→Linear, masked MEAN over one product axis
+    (only observed cells exist in the reference's subgraph), then
+    PReLU(fc2(·))."""
+
+    axis: int                 # 1 = collapse stations (per-source), 0 = per-station
+    n_out: int = 15
+    scale_rel: float = 30e3
+
+    @nn.compact
+    def __call__(self, x, m, rel, prod_mask):
+        a1, a2 = PReLU(), PReLU()
+        inner = x.shape[-1]
+        msg = a1(_Seq2(inner, inner, name="fc1")(
+            jnp.concatenate((x, m, rel / self.scale_rel), -1)))
+        msg = msg * prod_mask
+        agg = msg.sum(self.axis) / jnp.maximum(prod_mask.sum(self.axis), 1.0)
+        return a2(nn.Dense(self.n_out, name="fc2")(agg))
 
 
 class GNNLocation(nn.Module):
-    """Relocation GNN: product conv ×5 → per-source Δx (scaled), Δt, and
-    per-station P/S corrections (ref :438-538)."""
+    """Relocation GNN (ref GNN_Location :438-538): embed the input features
+    into an n_embed mask channel concatenated at every conv linear, run
+    ``n_rounds`` edge-featured dual-relation conv rounds over the product,
+    read out per-source and per-station embeddings with gated bipartite
+    means, then heads: Δx = pos_scale·proj(x1) (reference form — no tanh),
+    Δt = proj_t(x1), per-station P/S statics = proj_c(x2). ``memory``
+    (EMA of previous predictions, ref :488-505) merges into x1 via
+    proj_memory/merge_data."""
 
     n_hidden: int = 30
+    n_embed: int = 10
+    n_embed_hidden: int = 20
     pos_scale: float = 5e3
     n_rounds: int = 5
+    scale_rel_conv: float = 30.0   # applied to /1000 positions (ref :369-371)
+    scale_rel_read: float = 30e3
 
     @nn.compact
-    def __call__(self, feat, src_nbr, sta_nbr, prod_mask):
-        # feat: (S, n_sta, 15); prod_mask: (S, n_sta, 1)
-        act_in, act_src, act_sta = PReLU(), PReLU(), PReLU()
-        x = act_in(nn.Dense(self.n_hidden)(feat))
+    def __call__(self, feat, src_nbr, sta_nbr, prod_mask, src_pos, sta_pos,
+                 memory=None):
+        # feat: (S, n_sta, C); prod_mask: (S, n_sta, 1)
+        m = _Seq2(self.n_embed_hidden, self.n_embed, name="embed_inpt")(feat)
+        e_sta = (sta_pos[sta_nbr] - sta_pos[:, None]) / 1000.0 / self.scale_rel_conv
+        e_src = (src_pos[src_nbr] - src_pos[:, None]) / 1000.0 / self.scale_rel_conv
+        send = prod_mask[..., 0]
+        x = feat
         for _ in range(self.n_rounds):
-            x = _DualConv(self.n_hidden)(x, sta_nbr, src_nbr)
-        x = x * prod_mask
-        src_emb = act_src(nn.Dense(self.n_hidden)(x.sum(axis=1)))   # (S, h)
-        sta_emb = act_sta(nn.Dense(self.n_hidden)(x.sum(axis=0)))   # (n_sta, h)
-        d_pos = self.pos_scale * jnp.tanh(nn.Dense(3, name="proj")(src_emb))
-        d_t = nn.Dense(1, name="proj_t")(src_emb)[:, 0]
-        sta_corr = nn.Dense(2, name="proj_c")(sta_emb)
+            x = _DDConv(self.n_hidden)(x, m, sta_nbr, src_nbr, e_sta, e_src, send)
+        rel = src_pos[:, None, :] - sta_pos[None, :, :]        # (S, n_sta, 3)
+        x1 = _DDReadOut(axis=1, scale_rel=self.scale_rel_read,
+                        name="read_src")(x, m, rel, prod_mask)
+        x2 = _DDReadOut(axis=0, scale_rel=self.scale_rel_read,
+                        name="read_sta")(x, m, -rel, prod_mask)
+        if memory is not None:
+            pm = _Seq2(30, 15, name="proj_memory")(memory)
+            x1 = _Seq2(30, 30, name="merge_data")(jnp.concatenate((x1, pm), -1))
+        d_pos = self.pos_scale * _Seq2(30, 3, name="proj")(x1)
+        d_t = _Seq2(15, 1, name="proj_t")(x1)[:, 0]
+        sta_corr = _Seq2(15, 2, name="proj_c")(x2)
         return d_pos, d_t, sta_corr
 
 
@@ -431,11 +552,16 @@ def make_feature_tensor(graph: RelocGraph, sta_cart, resid, partials,
     pick_cnt = graph.obs_mask.sum(axis=(1, 2))
     log_cnt = jnp.log1p(pick_cnt)[:, None, None] * jnp.ones_like(off_n)
     p_scaled = partials * (1.0 / 60.0) * jnp.asarray([1.0, 1.0, 100e3]).reshape(1, 1, 1, 3)
+    # normalized absolute source position — the reference's inpt_sources=True
+    # append (train_double_difference_model.py:448-450, n_inpt = 15 + 3)
+    src_abs = jnp.broadcast_to(graph.src_pos[:, None, :] / scale_x,
+                               off.shape)
     parts = [
         resid[:, :, 0:1] / scale_t, resid[:, :, 1:2] / scale_t,
         p_scaled[:, :, 0, :], p_scaled[:, :, 1, :],
         off, off_n, log_cnt,
         graph.obs_mask[:, :, 0:1], graph.obs_mask[:, :, 1:2],
+        src_abs,
     ]
     if memory is not None:
         n_sta = sta_cart.shape[0]
@@ -448,11 +574,14 @@ def make_feature_tensor(graph: RelocGraph, sta_cart, resid, partials,
 
 def make_dd_loss(model: GNNLocation, trv_from_cart, sta_cart,
                  w_dd: float = 0.8, w_abs: float = 0.1, w_sta: float = 0.1,
-                 w_dtcc: float = 0.8, use_memory: bool = False):
+                 w_dtcc: float = 0.8, w_cal: float = 0.5,
+                 use_memory: bool = False):
     """Differentiable relocation loss through the travel-time surrogate.
     Loss weights follow the reference (train_double_difference_model.py:
     1040-1050): 0.8 double-difference (+0.8 dt.cc when observations are
-    attached), 0.2 split between absolute and station-mean."""
+    attached), 0.2 split between absolute and station-mean, plus the
+    calibration-to-reference loss (:830-854) when matched reference events
+    are attached (``attach_reference``)."""
 
     def loss_fn(params, graph: RelocGraph, memory=None):
         sc = sta_cart[graph.sta_sel]         # graph's observed-station subset
@@ -462,7 +591,8 @@ def make_dd_loss(model: GNNLocation, trv_from_cart, sta_cart,
         feat, prod_mask = make_feature_tensor(graph, sc, resid, partials,
                                               memory=memory)
         d_pos, d_t, sta_corr = model.apply(params, feat, graph.src_nbr,
-                                           graph.sta_nbr, prod_mask)
+                                           graph.sta_nbr, prod_mask,
+                                           graph.src_pos, sc, memory=memory)
         new_pos = graph.src_pos + d_pos * graph.src_mask[:, None]
         new_t = graph.src_time + d_t * graph.src_mask
         t_full = trv_from_cart(sc, new_pos)          # (S, n_sta_g, 2)
@@ -497,8 +627,28 @@ def make_dd_loss(model: GNNLocation, trv_from_cart, sta_cart,
                   / jnp.maximum(wp.sum(), 1e-6))
         total = total + w_dtcc * l_dtcc * (graph.dt_mask.sum() > 0)
 
+        # calibration-to-reference loss (ref :830-854): on matched sources,
+        # (a) the relocated travel-time curve must match the curve computed
+        # at the reference location/time (station statics cancel in the
+        # reference's difference), (b) observed arrivals must fit the
+        # reference-location times + station statics (S down-weighted 0.5,
+        # ref weight_s_loss)
+        l_cal = jnp.float32(0.0)
+        if graph.ref_mask is not None:
+            t_ref = (trv_from_cart(sc, graph.ref_pos)
+                     + graph.ref_time[:, None, None])
+            t_new = t_full + new_t[:, None, None]
+            mc = m * graph.ref_mask[:, None, None]
+            denom = jnp.maximum(mc.sum(), 1.0)
+            l_cal_abs = (jnp.abs(t_new - t_ref) * mc).sum() / denom
+            wph = jnp.asarray([1.0, 0.5]).reshape(1, 1, 2)
+            rc = (graph.obs_time - (t_ref + sta_corr[None, :, :])) * mc
+            l_cal_data = (jnp.abs(rc) * wph).sum() / denom
+            l_cal = 0.5 * (l_cal_abs + l_cal_data)
+            total = total + w_cal * l_cal * (graph.ref_mask.sum() > 0)
+
         return total, ({"dd": l_dd, "abs": l_abs, "sta": l_sta,
-                        "dtcc": l_dtcc},
+                        "dtcc": l_dtcc, "cal": l_cal},
                        jax.lax.stop_gradient(d_pos), jax.lax.stop_gradient(d_t))
 
     return loss_fn
@@ -516,7 +666,8 @@ def train_graphdd(key, model: GNNLocation, trv_from_cart, sta_cart, graphs,
                                          g0.src_time, g0.obs_time, g0.obs_mask)
     mem0 = jnp.zeros((g0.src_pos.shape[0], 4)) if use_memory else None
     feat, prod_mask = make_feature_tensor(g0, sc0, resid, partials, memory=mem0)
-    params = model.init(key, feat, g0.src_nbr, g0.sta_nbr, prod_mask)
+    params = model.init(key, feat, g0.src_nbr, g0.sta_nbr, prod_mask,
+                        g0.src_pos, sc0, memory=mem0)
     loss_fn = make_dd_loss(model, trv_from_cart, sta_cart, use_memory=use_memory)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = opt.init(params)
@@ -548,6 +699,7 @@ def relocate(model: GNNLocation, params, trv_from_cart, sta_cart, graph: RelocGr
         graph.obs_time, graph.obs_mask)
     feat, prod_mask = make_feature_tensor(graph, sc, resid, partials)
     d_pos, d_t, sta_corr = model.apply(params, feat, graph.src_nbr,
-                                       graph.sta_nbr, prod_mask)
+                                       graph.sta_nbr, prod_mask,
+                                       graph.src_pos, sc)
     return (graph.src_pos + d_pos * graph.src_mask[:, None],
             graph.src_time + d_t * graph.src_mask, sta_corr)

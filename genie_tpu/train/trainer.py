@@ -174,18 +174,46 @@ def loss_fn(model: Detector, params, ctx: DomainContext, cfg: Config,
         trgts = jnp.stack((wb_i.lbl_grid.max(), wb_i.lbl_query.max(),
                            wb_i.lbl_assoc[:, :, 0].max(), wb_i.lbl_assoc[:, :, 1].max()))
         preds = jnp.stack((y.max(), x.max(), arv_p.max(), arv_s.max()))
-        return jnp.stack((l_grid, l_query, l_p, l_s)), trgts, preds
+
+        # optional sensitivity regularizer (ref train_GENIE_model.py:
+        # 1792-1829): Gauss-Newton location covariance with the association
+        # scores as pick weights and travel-time partials (detached) as the
+        # Jacobian; penalizing predicted location uncertainty rewards
+        # associations that geometrically constrain the source. Tikhonov
+        # damping replaces the reference's condition-number gate.
+        l_sens = jnp.float32(0.0)
+        if cfg.train.sensitivity_weight > 0:
+            def t_of_x(xs):
+                return trv_from_cart(ctx.sta_cart, xs[None])[0]  # (n_sta, 2)
+
+            part = jax.lax.stop_gradient(
+                jax.vmap(jax.jacfwd(t_of_x))(wb_i.x_qsrc))  # (n_q, n_sta, 2, 3)
+            pm_col = wb_i.pick_mask[None, :, None]
+            jp = jnp.clip(arv_p[:, :, 0], 0.0)[..., None] * part[:, wb_i.ipick, 0, :] * pm_col
+            js = jnp.clip(arv_s[:, :, 0], 0.0)[..., None] * part[:, wb_i.ipick, 1, :] * pm_col
+            J = jnp.concatenate((jp, js), axis=1)           # (n_q, 2*n_pick, 3)
+            sig_d = cfg.train.sensitivity_sig_d
+            G = jnp.einsum("qpi,qpj->qij", J, J) / sig_d**2
+            tr = jnp.trace(G, axis1=1, axis2=2)
+            eps = 1e-6 * (tr / 3.0 + 1.0)
+            cov = jnp.linalg.inv(G + eps[:, None, None] * jnp.eye(3))
+            sigma = jnp.sqrt(jnp.clip(
+                jnp.diagonal(cov, axis1=1, axis2=2), 0.0).sum(-1))
+            ok = (tr > 1e-8).astype(sigma.dtype)            # rows with signal
+            l_sens = ((sigma / 1e4) ** 2 * ok).sum() / jnp.maximum(ok.sum(), 1)
+        return jnp.stack((l_grid, l_query, l_p, l_s)), trgts, preds, l_sens
 
     if cfg.train.sequential_windows:
         # scan + remat over windows: activation memory of ONE window instead
         # of n_batch (the reference's gradient-accumulation memory profile;
         # jax.checkpoint recomputes the forward during backward)
-        losses, trgts, preds = jax.lax.map(jax.checkpoint(one), wb)
+        losses, trgts, preds, l_sens = jax.lax.map(jax.checkpoint(one), wb)
     else:
-        losses, trgts, preds = jax.vmap(one)(wb)
+        losses, trgts, preds, l_sens = jax.vmap(one)(wb)
     losses = losses.mean(axis=0)
     w = jnp.asarray(cfg.train.loss_weights)
-    return (w * losses).sum(), (losses, trgts.sum(axis=0), preds.sum(axis=0))
+    total = (w * losses).sum() + cfg.train.sensitivity_weight * l_sens.mean()
+    return total, (losses, trgts.sum(axis=0), preds.sum(axis=0))
 
 
 def make_generate_batch(cfg: Config, ctx: DomainContext, trv_from_cart):

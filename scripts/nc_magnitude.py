@@ -236,10 +236,20 @@ def main():
 
     if args.save:
         import pickle
+        from genie_tpu.calibration.magnitude_scale import (
+            fit_magnitude_distance_params)
+        # magnitude -> max plausible association distance, fitted on every
+        # observed (mag, epicentral distance) pair (ref calibrate_and_apply_
+        # magnitude_scale.py:786-884 distance_magnitude_model); consumed by
+        # InferencePipeline.magnitude_distance_qc
+        d_epi = np.linalg.norm(obs_src[:, :2] - sta_cart[obs_sta, :2], axis=1)
+        dist_model = fit_magnitude_distance_params(obs_mag, d_epi)
         Path(args.save).write_bytes(pickle.dumps(
             {"params": jax.device_get(params), "grid_cart": grid_cart,
-             "k": 1, "n_sta": sta_cart.shape[0], "vald": res["vald"]}))
-        print(f"saved magnitude model to {args.save}")
+             "k": 1, "n_sta": sta_cart.shape[0], "vald": res["vald"],
+             "dist_model": dist_model}))
+        print(f"saved magnitude model to {args.save} "
+              f"(dist_model {dist_model['kind']})")
 
 
 if __name__ == "__main__":

@@ -223,7 +223,8 @@ def main():
         mag_model = {"model": MagnitudeModel(n_sta=mm["n_sta"],
                                              n_grid=len(mm["grid_cart"]),
                                              k=mm.get("k", 1)),
-                     "params": mm["params"], "grid_cart": mm["grid_cart"]}
+                     "params": mm["params"], "grid_cart": mm["grid_cart"],
+                     "dist_model": mm.get("dist_model")}
         print(f"magnitude model from {args.mag_model} "
               f"(vald {mm.get('vald')})", flush=True)
 

@@ -71,3 +71,50 @@ def test_visualize_predictions(tmp_path):
                                 pred_query=lbl[:50] * 0.8,
                                 arv_p=rng.random((20, 30)))
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_magnitude_distance_params_roundtrip_and_qc():
+    """The picklable params form evaluates identically to the callable, and
+    the pipeline's magnitude_distance_qc drops implausibly distant picks
+    then re-applies the min picks/stations filter."""
+    import pickle
+
+    from genie_tpu.calibration.magnitude_scale import (
+        eval_magnitude_distance, fit_magnitude_distance_params)
+
+    rng = np.random.default_rng(1)
+    mags = rng.uniform(0, 5, 400)
+    dists = 20e3 * np.exp(0.5 * mags) * rng.uniform(0.3, 1.0, 400)
+    params = fit_magnitude_distance_params(mags, dists)
+    params = pickle.loads(pickle.dumps(params))
+    assert eval_magnitude_distance(params, 4.0) > eval_magnitude_distance(params, 1.0)
+
+    # QC via a minimal pipeline stand-in (no model needed for this stage)
+    from genie_tpu.infer.pipeline import CatalogEvent, InferencePipeline
+
+    class _Ctx:
+        sta_cart = np.array([[0.0, 0, 0], [5e3, 0, 0], [400e3, 0, 0],
+                             [1e3, 2e3, 0], [2e3, 1e3, 0]], np.float32)
+
+    class _P:
+        min_required_picks = 3
+        min_required_sta = 3
+
+    class _Cfg:
+        process = _P()
+
+    pipe = InferencePipeline.__new__(InferencePipeline)
+    pipe.ctx = _Ctx()
+    pipe.cfg = _Cfg()
+    pipe.mag = {"dist_model": params}
+    pick_sta = np.array([0, 1, 2, 3, 4])
+    ev_ok = CatalogEvent(pos_cart=np.zeros(3), time=0.0,
+                         picks=np.array([0, 1, 3, 4]),
+                         pick_phases=np.array([0, 1, 0, 1]), mag=3.0)
+    # the station-2 pick sits 400 km out: implausible for a small event
+    ev_far = CatalogEvent(pos_cart=np.zeros(3), time=10.0,
+                          picks=np.array([0, 1, 2]),
+                          pick_phases=np.array([0, 0, 1]), mag=0.2)
+    out = pipe.magnitude_distance_qc([ev_ok, ev_far], pick_sta)
+    assert len(out) == 1 and out[0].time == 0.0  # far event fell below mins
+    assert len(out[0].picks) == 4                 # nearby picks untouched

@@ -186,10 +186,50 @@ def test_dtcc_attach_and_loss(tmp_path):
                                          g2.src_time, g2.obs_time, g2.obs_mask)
     feat, prod_mask = make_feature_tensor(g2, sc, resid, partials)
     params = model.init(jax.random.PRNGKey(1), feat, g2.src_nbr, g2.sta_nbr,
-                        prod_mask)
+                        prod_mask, g2.src_pos, sc)
     loss_fn = make_dd_loss(model, tt.from_cart, jnp.asarray(sta))
     total_with, (parts_with, _, _) = loss_fn(params, g2)
     total_without, (parts_without, _, _) = loss_fn(params, g)
     assert float(parts_with["dtcc"]) > 0.0
     assert float(parts_without["dtcc"]) == 0.0 or not np.asarray(g.dt_mask).any()
     assert float(total_with) != float(total_without)
+
+
+def test_calibration_reference_loss():
+    """attach_reference + the calibration-to-reference loss (ref
+    train_double_difference_model.py:830-854): matched sources add a loss
+    term pulling the relocated travel-time curve toward the curve at the
+    reference location, and gradients flow through it."""
+    from genie_tpu.relocation.graphdd import (attach_reference,
+                                              build_catalog_data,
+                                              make_dd_loss,
+                                              make_feature_tensor)
+
+    tt, sta, true_pos, true_t, init_pos, init_t, obs, mask = make_cluster()
+    graphs = make_relocation_graphs(
+        jax.random.PRNGKey(0), jnp.asarray(init_pos), jnp.asarray(init_t),
+        jnp.asarray(obs), jnp.asarray(mask), jnp.asarray(sta),
+        n_graphs=1, graph_size=24, k_src=6, k_sta=5, max_pair_dist=20e3)
+    g = graphs[0]
+    ids = np.asarray(g.node_ids)[np.asarray(g.src_mask)][:5]
+    # reference events = the true locations of 5 matched sources
+    g2 = attach_reference(g, ids, true_pos[ids], true_t[ids])
+    assert int(np.asarray(g2.ref_mask).sum()) == 5
+
+    model = GNNLocation(n_rounds=2)
+    sc = jnp.asarray(sta)[g2.sta_sel]
+    resid, partials = build_catalog_data(tt.from_cart, sc, g2.src_pos,
+                                         g2.src_time, g2.obs_time, g2.obs_mask)
+    feat, prod_mask = make_feature_tensor(g2, sc, resid, partials)
+    params = model.init(jax.random.PRNGKey(1), feat, g2.src_nbr, g2.sta_nbr,
+                        prod_mask, g2.src_pos, sc)
+    loss_fn = make_dd_loss(model, tt.from_cart, jnp.asarray(sta))
+    total_with, (parts, _, _) = loss_fn(params, g2)
+    assert float(parts["cal"]) > 0.0
+    total_without, (parts0, _, _) = loss_fn(params, g)
+    assert float(parts0["cal"]) == 0.0
+    assert float(total_with) > float(total_without)
+    grads = jax.grad(lambda p: loss_fn(p, g2)[0])(params)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), grads, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0

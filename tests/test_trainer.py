@@ -284,3 +284,60 @@ def test_preferential_sampling_gates_on_detectable_events():
     assert not near_b.any(), (t0s, ev_time)
     # targeted windows carry a strong grid label (spatial taper only)
     assert lbl_max[near_a].max() > 0.5, lbl_max
+
+
+def test_sensitivity_loss_optional_regularizer():
+    """The optional location-covariance regularizer (ref train_GENIE_model.
+    py:1792-1829): off by default (identical total), on -> finite extra term
+    with gradients flowing into the association head."""
+    from genie_tpu.train.trainer import generate_batch, loss_fn
+
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    model = Detector(src_chunk=5)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+    wb = generate_batch(jax.random.PRNGKey(5), cfg, ctx, tt.from_cart)
+
+    base, _ = loss_fn(model, state.params, ctx, cfg, wb, tt.from_cart)
+    cfg.train.sensitivity_weight = 2e-6  # the reference's weight
+    on, _ = loss_fn(model, state.params, ctx, cfg, wb, tt.from_cart)
+    assert np.isfinite(float(on))
+    assert float(on) >= float(base)  # a penalty, never a reward
+    g = jax.grad(lambda p: loss_fn(model, p, ctx, cfg, wb, tt.from_cart)[0])(
+        state.params)
+    gn = jax.tree_util.tree_reduce(lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_legacy_travel_times_mask_branches():
+    """LegacyTravelTimes (ref module.py:1190-1321): dual-branch time +
+    sigmoid validity mask, relative-only variants, and train-time random
+    dropping of the absolute branch."""
+    from genie_tpu.models.travel_time import LegacyTravelTimes
+
+    rng = np.random.default_rng(0)
+    sta = rng.uniform(-50e3, 50e3, (7, 3)).astype(np.float32)
+    src = rng.uniform(-80e3, 80e3, (11, 3)).astype(np.float32)
+    m = LegacyTravelTimes(n_phases=2)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(sta), jnp.asarray(src))
+    t, mask = m.apply(params, jnp.asarray(sta), jnp.asarray(src))
+    assert t.shape == (11, 7, 2) and mask.shape == (11, 7, 2)
+    assert (np.asarray(mask) > 0).all() and (np.asarray(mask) < 1).all()
+    # relative-only path differs from the full path (fc2/fc4 contribute)
+    t_rel, mask_rel = m.apply(params, jnp.asarray(sta), jnp.asarray(src),
+                              relative=True)
+    assert not np.allclose(np.asarray(t), np.asarray(t_rel))
+    # train-time drop: with drop_p=1 the absolute branch is fully dropped,
+    # reproducing the relative path exactly (ref forward_train semantics)
+    t_tr, mask_tr = m.apply(params, jnp.asarray(sta), jnp.asarray(src),
+                            train=True, drop_p=1.0,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(np.asarray(t_tr), np.asarray(t_rel), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mask_tr), np.asarray(mask_rel), atol=1e-6)
+    # and the mask head is trainable: one gradient step moves it
+    def loss(p):
+        _, mk = m.apply(p, jnp.asarray(sta), jnp.asarray(src))
+        return ((mk - 1.0) ** 2).mean()
+    g = jax.grad(loss)(params)
+    gn = jax.tree_util.tree_reduce(lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
+    assert np.isfinite(gn) and gn > 0
