@@ -149,6 +149,107 @@ def sharded_gather_mean_src_axis(x_local, part: SrcPartition, shard_id,
     return g.mean(axis=1)
 
 
+class StaSubsel(NamedTuple):
+    """Per-shard station sub-selection (the distributed subgraph of SURVEY
+    §7.3 / ref ``use_subgraph``, process_utils.py:744-849): each source
+    shard only materializes the stations its local sources pair with, so
+    the product tensor is (n_local, n_sel+1, C) instead of
+    (n_local, n_sta, C). Row ``n_sel`` of every per-shard station axis is a
+    reserved all-zero sentinel; out-of-subset station references point at it
+    (contributing exactly the zero the masked-dense computation reads).
+
+    ``col_map`` remaps halo source rows between shard station frames: the
+    receiver's column r (global station sta_sel[recv, r]) reads the sender's
+    column ``col_map[recv, send, r]`` (sentinel when the sender does not
+    carry that station).
+
+    Aggregation semantics under sub-selection (the reference's true-subgraph
+    behaviour — absent pairs contribute nothing, process_utils.py:744-849):
+    station-axis means run over the carried valid neighbours only
+    (``sta_nbr_valid`` drops out-of-union neighbours from numerator AND
+    denominator); source-axis means keep the fixed k denominator with
+    zero contribution for stations a sender shard does not carry (the
+    caller zeroes the sentinel column of the value tensor — see
+    ``make_subgraph_sharded_detection_forward``). With an all-True pair
+    mask both reduce exactly to the dense computation."""
+
+    n_sel: int                   # station budget per shard (max subset size)
+    sta_sel: jnp.ndarray         # (n_shards, n_sel) global station ids
+    sel_valid: jnp.ndarray       # (n_shards, n_sel) bool (False = padding)
+    sta_nbr: jnp.ndarray         # (n_shards, n_sel+1, k) local-frame neighbours
+    sta_nbr_valid: jnp.ndarray   # (n_shards, n_sel+1, k)
+    col_map: jnp.ndarray         # (n_shards_recv, n_shards_send, n_sel+1)
+
+
+def build_station_subselection(a_src_in_sta, part: SrcPartition,
+                               sta_nbr, sta_nbr_valid) -> StaSubsel:
+    """Host-side plan: per-shard observed-station subsets from the ε+kNN
+    pair mask (``genie_tpu.graphs.subgraph.pair_mask``), remapped neighbour
+    tables, and the inter-shard station-frame column maps."""
+    mask = np.asarray(a_src_in_sta)[np.asarray(part.perm)]   # sorted frame
+    n_shards, n_local = part.n_shards, part.n_local
+    n_sta = mask.shape[1]
+    blocks = mask.reshape(n_shards, n_local, n_sta)
+    subsets = [np.where(b.any(axis=0))[0] for b in blocks]
+    n_sel = max(max((len(s) for s in subsets), default=1), 1)
+
+    sta_sel = np.zeros((n_shards, n_sel), np.int32)
+    sel_valid = np.zeros((n_shards, n_sel), bool)
+    g2l = np.full((n_shards, n_sta), n_sel, np.int32)        # sentinel default
+    for j, s in enumerate(subsets):
+        sta_sel[j, :len(s)] = s
+        sel_valid[j, :len(s)] = True
+        g2l[j, s] = np.arange(len(s))
+
+    nbr = np.asarray(sta_nbr)
+    nv = np.asarray(sta_nbr_valid)
+    k = nbr.shape[1]
+    # local neighbour tables: out-of-union neighbours are dropped from both
+    # numerator and denominator (true-subgraph semantics); with an all-True
+    # pair mask this is exactly the original table
+    sta_nbr_l = np.full((n_shards, n_sel + 1, k), n_sel, np.int32)
+    sta_nbr_valid_l = np.zeros((n_shards, n_sel + 1, k), bool)
+    for j in range(n_shards):
+        loc = g2l[j][nbr[sta_sel[j]]]
+        sta_nbr_l[j, :n_sel] = loc
+        sta_nbr_valid_l[j, :n_sel] = (nv[sta_sel[j]] & sel_valid[j][:, None]
+                                      & (loc < n_sel))
+    # padded rows keep all-False validity: their outputs are never gathered
+    # (g2l never maps to padding rows) and are masked downstream
+
+    col_map = np.full((n_shards, n_shards, n_sel + 1), n_sel, np.int32)
+    for r in range(n_shards):
+        for s in range(n_shards):
+            col_map[r, s, :n_sel] = g2l[s][sta_sel[r]]
+            col_map[r, s, :n_sel][~sel_valid[r]] = n_sel
+
+    return StaSubsel(
+        n_sel=n_sel, sta_sel=jnp.asarray(sta_sel), sel_valid=jnp.asarray(sel_valid),
+        sta_nbr=jnp.asarray(sta_nbr_l), sta_nbr_valid=jnp.asarray(sta_nbr_valid_l),
+        col_map=jnp.asarray(col_map),
+    )
+
+
+def sharded_gather_mean_src_axis_subsel(x_local, part: SrcPartition,
+                                        col_map_local, shard_id,
+                                        axis_name: str):
+    """Source-axis aggregation under BOTH source partitioning and per-shard
+    station sub-selection: halo rows arrive in their sender's station frame
+    and are remapped to the receiver's via ``col_map_local``
+    (n_shards_send, n_sel+1). The sentinel zero column absorbs stations the
+    sender does not carry."""
+    halo = halo_exchange(x_local, part.send_idx[shard_id], axis_name)
+    # remap sender station frames → receiver frame
+    idx = col_map_local[:, None, :, None]                  # (n_send, 1, n_sel+1, 1)
+    halo = jnp.take_along_axis(halo, jnp.broadcast_to(
+        idx, halo.shape[:2] + (idx.shape[2], halo.shape[3])), axis=2)
+    n_sh, H = halo.shape[0], halo.shape[1]
+    x_ext = jnp.concatenate(
+        (x_local, halo.reshape((n_sh * H,) + x_local.shape[1:])), axis=0)
+    nbr = part.local_nbr[shard_id]
+    return x_ext[nbr].mean(axis=1)
+
+
 def sharded_src_aggregation(x_sorted, part: SrcPartition, mesh: Mesh,
                             axis_name: str = "src"):
     """Convenience wrapper: apply the sharded source-axis aggregation to a

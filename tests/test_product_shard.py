@@ -104,3 +104,115 @@ def test_morton_partition_halo_locality_on_thin_clustered_cloud():
     assert mean_sent < 0.5 * n_local, (
         f"halo is {100 * mean_sent / n_local:.0f}% of a shard — partition "
         "lost spatial locality")
+
+
+def test_subgraph_sharded_forward_alltrue_mask_matches_dense():
+    """Per-shard station sub-selection with an all-True pair mask must be
+    EXACTLY the dense forward (every shard carries every station, the
+    sentinel is never referenced, col_map is the identity) — for both model
+    variants. This pins the frame-remap and table plumbing."""
+    from genie_tpu.models.detector import Detector
+    from genie_tpu.parallel.sharded_detector import (
+        make_subgraph_sharded_detection_forward)
+    from tests.test_detector import make_tiny_scene
+
+    feat, mask, graph, sta_pos, picks, queries = make_tiny_scene(
+        seed=5, n_src=64)
+    mesh = make_mesh(8, axis_names=("src",))
+    a = jnp.ones((64, sta_pos.shape[0]), bool)
+
+    for updated in (False, True):
+        model = Detector(src_chunk=4, use_updated_model_definition=updated)
+        params = model.init(jax.random.PRNGKey(0), feat, mask, graph, sta_pos,
+                            picks, queries)
+        want_y, want_x = model.apply(
+            params, feat, mask, graph, sta_pos, queries.x_query,
+            queries.x_query_idx, queries.t_query,
+            method=Detector.forward_detection_only)
+        fwd, part, sub = make_subgraph_sharded_detection_forward(
+            model, graph, sta_pos, mesh, a)
+        assert sub.n_sel == sta_pos.shape[0]
+        got_y, got_x = jax.jit(fwd)(params, feat, mask, queries.x_query,
+                                    queries.x_query_idx, queries.t_query)
+        assert np.allclose(np.asarray(got_y), np.asarray(want_y),
+                           atol=1e-5), f"y mismatch (updated={updated})"
+        assert np.allclose(np.asarray(got_x), np.asarray(want_x),
+                           atol=1e-5), f"x_q mismatch (updated={updated})"
+
+
+def test_subgraph_sharded_src_aggregation_matches_emulation():
+    """The frame-remapped source-axis aggregation must equal an independent
+    unsharded emulation of the distributed-subgraph semantics: neighbour
+    source rows contribute their value at the receiver's station when the
+    owner shard carries it, zero otherwise; denominator is the fixed k."""
+    from genie_tpu.graphs.subgraph import pair_mask
+    from genie_tpu.parallel.product_shard import (
+        build_station_subselection, sharded_gather_mean_src_axis_subsel)
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    rng = np.random.default_rng(2)
+    n_src, n_sta, c, k, n_shards = 64, 24, 3, 6, 8
+    src_pos = rng.uniform(-80e3, 80e3, (n_src, 3)).astype(np.float32)
+    sta_posd = rng.uniform(-80e3, 80e3, (n_sta, 3)).astype(np.float32)
+    src_nbr = np.asarray(build_source_graph(src_pos, k))
+    from genie_tpu.graphs.build import build_station_graph
+    sta_nbr, sta_valid = build_station_graph(sta_posd, 4)
+
+    # a genuinely thin pair mask (degree-scale positions for pair_mask)
+    a = np.asarray(pair_mask(jnp.asarray(src_pos / 111e3),
+                             jnp.asarray(sta_posd / 111e3),
+                             max_deg_offset=0.35, k_nearest_pairs=4))
+    part = build_partition(src_pos, src_nbr, n_shards)
+    sub = build_station_subselection(a, part, jnp.asarray(sta_nbr),
+                                     jnp.asarray(sta_valid))
+    assert sub.n_sel < n_sta  # the sub-selection actually shrinks the axis
+
+    n_local = n_src // n_shards
+    n_sel = sub.n_sel
+    x = rng.normal(size=(n_src, n_sel + 1, c)).astype(np.float32)
+    x[:, -1] = 0.0  # sentinel column zero (the caller guarantees this)
+    # zero padded columns per owner shard
+    sel_valid = np.asarray(sub.sel_valid)
+    sta_sel = np.asarray(sub.sta_sel)
+    owner = np.arange(n_src) // n_local
+    for g_row in range(n_src):
+        x[g_row, :n_sel][~sel_valid[owner[g_row]]] = 0.0
+
+    mesh = make_mesh(n_shards, axis_names=("src",))
+
+    def f(x_local, colmap_l):
+        sid = jax.lax.axis_index("src")
+        return sharded_gather_mean_src_axis_subsel(
+            x_local, part, colmap_l[0], sid, "src")
+
+    got = np.asarray(shard_map(
+        f, mesh=mesh, in_specs=(P("src"), P("src")), out_specs=P("src"))(
+        jnp.asarray(x), sub.col_map))
+
+    # emulation: receiver row a (sorted global), column r (global station
+    # sta_sel[shard(a), r]): mean over k neighbour rows of their value at
+    # that station if the neighbour's owner carries it, else 0
+    nbr_sorted = np.asarray(part.inv_perm)[src_nbr[np.asarray(part.perm)]]
+    g2l = np.full((n_shards, n_sta), n_sel, np.int64)
+    for j in range(n_shards):
+        g2l[j, sta_sel[j][sel_valid[j]]] = np.arange(sel_valid[j].sum())
+    want = np.zeros_like(got)
+    for a_row in range(n_src):
+        jsh = owner[a_row]
+        for r in range(n_sel + 1):
+            if r == n_sel or not sel_valid[jsh, r]:
+                vals = np.zeros((k, c), np.float32)
+                # padded/sentinel receiver columns read senders' sentinel
+                want[a_row, r] = vals.mean(0)
+                continue
+            g_sta = sta_sel[jsh, r]
+            acc = np.zeros(c, np.float32)
+            for b in nbr_sorted[a_row]:
+                col = g2l[owner[b], g_sta]
+                acc += x[b, col]  # col == n_sel -> sentinel zero
+            want[a_row, r] = acc / k
+    np.testing.assert_allclose(got, want, atol=1e-5)
