@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Fit travel-time corrections on real matched events (the reference's
+``apply_calibration_routines.py:398-650``): match processed day catalogs to
+the USGS reference, collect assigned pick arrivals at the matched USGS
+locations/origin times, fit per-(grid, station, phase) corrections with
+Laplacian smoothing, report before/after matched travel-time residuals, and
+save ``corrections_nc.npz`` for ``nc_process.py --corrections``.
+
+    python scripts/nc_calibrate.py --run projects/NC_EHZ/run5 \
+        --days 2017_275 2017_276 ... [--steps 1500] [--save ...]
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from nc_common import load_day
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", required=True)
+    ap.add_argument("--days", nargs="+", required=True,
+                    help="days with catalog_<day>.hdf5 in the run dir")
+    ap.add_argument("--dataset", default="100")
+    ap.add_argument("--min-prob", type=float, default=0.3)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--sig-x", type=float, default=25e3)
+    ap.add_argument("--sig-t", type=float, default=15.0)
+    ap.add_argument("--save", default=None,
+                    help="output npz (default <run>/corrections_nc.npz)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from genie_tpu.calibration.corrections import (fit_corrections,
+                                                   interp_weighted)
+    from genie_tpu.infer.assign import maximize_bipartite_assignment
+    from genie_tpu.io import load_catalog
+    from nc_process import build_runtime
+
+    run_dir = Path(args.run)
+    cfg, ctx, proj, trv, sta_lla = build_runtime(run_dir)
+    sta_cart = jnp.asarray(ctx.sta_cart)
+    n_sta = sta_cart.shape[0]
+    grid_cart = ctx.grids_cart[0]        # correction grid = first kmeans grid
+
+    src_list, obs_list = [], []
+    n_matched_total = 0
+    for day in args.days:
+        cat_f = run_dir / f"catalog_{day}.hdf5"
+        if not cat_f.exists():
+            print(f"[cal] {day}: no catalog, skip", flush=True)
+            continue
+        events = load_catalog(cat_f)
+        pick_t, pick_sta, pick_ph, prob, ind_use, cat, ref_srcs, _ = \
+            load_day(day, dataset=args.dataset, return_amp=True)
+        keep = prob >= args.min_prob
+        pick_t, pick_sta = pick_t[keep], pick_sta[keep]
+        if not events:
+            continue
+        det = np.array([[*ev.pos_cart, ev.time] for ev in events])
+        usgs_c = np.asarray(proj.to_cart_np(cat[:, :3]))
+        usgs = np.concatenate((usgs_c, cat[:, 3:4]), axis=1)
+        ia, ib = maximize_bipartite_assignment(det, usgs,
+                                               sig_x=args.sig_x,
+                                               sig_t=args.sig_t)
+        n_matched_total += len(ia)
+        for di, ri in zip(ia, ib):
+            ev = events[di]
+            t_ref = float(usgs[ri, 3])
+            obs = np.zeros((n_sta, 2), np.float32)
+            msk = np.zeros((n_sta, 2), np.float32)
+            for p, ph in zip(ev.picks, ev.pick_phases):
+                s = int(pick_sta[p])
+                obs[s, int(ph)] = pick_t[p] - t_ref   # origin-corrected
+                msk[s, int(ph)] = 1.0
+            src_list.append(usgs[ri, :3])
+            obs_list.append((obs, msk))
+        print(f"[cal] {day}: {len(events)} det, {len(ia)} matched", flush=True)
+
+    if not src_list:
+        print("[cal] no matched events — nothing to fit")
+        return
+    src_cart = jnp.asarray(np.asarray(src_list, np.float32))
+    obs_times = jnp.asarray(np.stack([o for o, _ in obs_list]))
+    obs_mask = jnp.asarray(np.stack([m for _, m in obs_list]))
+    print(f"[cal] fitting on {len(src_list)} matched events "
+          f"({int(obs_mask.sum())} picks) over {len(grid_cart)} grid nodes",
+          flush=True)
+
+    pred0 = trv.from_cart(sta_cart, src_cart)
+    r0 = np.asarray((obs_times - pred0) * obs_mask)
+    m = np.asarray(obs_mask) > 0
+    before = float(np.abs(r0[m]).mean())
+
+    coefs, final_loss = fit_corrections(
+        jax.random.PRNGKey(0), trv.from_cart, sta_cart,
+        jnp.asarray(grid_cart), src_cart, obs_times, obs_mask,
+        n_steps=args.steps)
+    corr = interp_weighted(jnp.asarray(grid_cart), coefs, src_cart)
+    r1 = np.asarray((obs_times - (pred0 + corr)) * obs_mask)
+    after = float(np.abs(r1[m]).mean())
+    res = {"n_events": int(len(src_list)), "n_picks": int(obs_mask.sum()),
+           "resid_before_s": round(before, 4), "resid_after_s": round(after, 4),
+           "fit_loss": round(final_loss, 6)}
+    print(json.dumps(res), flush=True)
+
+    out = Path(args.save) if args.save else run_dir / "corrections_nc.npz"
+    np.savez_compressed(out, grid_cart=np.asarray(grid_cart),
+                        coefs=np.asarray(coefs), stats=json.dumps(res))
+    print(f"[cal] saved {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

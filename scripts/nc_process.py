@@ -36,7 +36,7 @@ from nc_common import PROJECT_ROOT, list_days, load_day, load_network, nc_config
 
 
 def build_runtime(run_dir: Path, n_grids=None, n_src=None, thresh=0.2,
-                  n_query=None):
+                  n_query=None, corrections=None):
     """Reconstruct the training domain for inference (same caches as
     nc_train.py) and build the inference pipeline config."""
     import jax.numpy as jnp
@@ -84,6 +84,24 @@ def build_runtime(run_dir: Path, n_grids=None, n_src=None, thresh=0.2,
                 grids_cart.reshape(-1, 3), tt_dir,
                 len(sta_cart)).reshape(ng, ns, len(sta_cart), 2)
             np.save(tg_cache, trv_grids)
+
+    if corrections is not None:
+        # calibrated travel-time corrections (nc_calibrate.py; ref
+        # apply_calibration_routines.py:398-650): wrap the surrogate AND
+        # shift the cached grid tables so the sweep featurization, the
+        # association trunk, and location all see corrected times
+        from genie_tpu.calibration.corrections import (TravelTimeCorrection,
+                                                       interp_weighted)
+        z = np.load(corrections)
+        gc, coefs = jnp.asarray(z["grid_cart"]), jnp.asarray(z["coefs"])
+        trv = TravelTimeCorrection(trv.from_cart, gc, coefs)
+        ng, ns = grids_cart.shape[:2]
+        corr = np.stack([np.asarray(interp_weighted(gc, coefs,
+                                                    jnp.asarray(grids_cart[g])))
+                         for g in range(ng)])
+        trv_grids = trv_grids + corr
+        print(f"corrections applied from {corrections} "
+              f"(|corr| median {np.abs(corr).mean():.3f}s)", flush=True)
 
     ctx = build_domain_context(cfg, sta_lla.astype(np.float32), sta_cart,
                                grids_lla.astype(np.float32), grids_cart,
@@ -190,6 +208,10 @@ def main():
                     help="fitted magnitude model pickle (nc_magnitude --save); "
                          "assigns event magnitudes when the dataset ships "
                          "amplitudes (500-day schema)")
+    ap.add_argument("--corrections", default=None,
+                    help="calibrated travel-time corrections npz "
+                         "(nc_calibrate.py output); wraps the surrogate and "
+                         "shifts the cached grid tables")
     ap.add_argument("--save-catalog", action="store_true",
                     help="save per-day catalog hdf5 (at the last thresh) "
                          "into the run dir")
@@ -206,7 +228,8 @@ def main():
           flush=True)
 
     cfg, ctx, proj, trv, sta_lla = build_runtime(
-        run_dir, thresh=min(args.thresh), n_query=args.n_query)
+        run_dir, thresh=min(args.thresh), n_query=args.n_query,
+        corrections=args.corrections)
     # grid-ensemble subsetting happens at sweep time (same domain/caches)
     sweep_grids = list(range(args.n_grids)) if args.n_grids else None
     model_inf = Detector(
@@ -250,7 +273,8 @@ def main():
         n_q = int(pipe.x_query.shape[0])
         half_tag = "_bf16" if args.half else ""
         g_tag = f"_g{args.n_grids}" if args.n_grids else ""
-        cache_f = run_dir / f"sweep_{day}_q{n_q}_p{args.min_prob}_s{step}{half_tag}{g_tag}.npz"
+        c_tag = "_corr" if args.corrections else ""
+        cache_f = run_dir / f"sweep_{day}_q{n_q}_p{args.min_prob}_s{step}{half_tag}{g_tag}{c_tag}.npz"
         t0 = time.time()
         if cache_f.exists():
             z = np.load(cache_f)
