@@ -135,6 +135,14 @@ def score(proj, events, cat, ref_srcs, t_end, sig_x=25e3, sig_t=15.0):
         "ref_n_matched": int(ref_stats["n_matched"]),
         "ref_detection_rate": round(float(ref_stats["detection_rate"]), 3),
     }
+    # per-magnitude-bin detection rates + bin counts (ref apply_calibration_
+    # routines.py:317-336); counts let multi-day summaries pool exactly
+    for m in (1.0, 2.0, 3.0, 4.0):
+        key = f"detection_rate_M{m:g}"
+        if key in stats:
+            n_bin = int((cat_keep[:, 4] >= m).sum())
+            out[key] = round(float(stats[key]), 3)
+            out[f"n_usgs_M{m:g}"] = n_bin
     # magnitude residuals vs USGS for matched events that got a magnitude
     mags = np.array([m if (m := getattr(ev, "mag", None)) is not None
                      else np.nan for ev in events], np.float64).reshape(-1)

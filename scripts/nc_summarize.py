@@ -31,6 +31,39 @@ def main():
               f"{r['ref_detection_rate']:.2f} | {epi} | {terr} | {mag} | "
               f"{r.get('n_total', '-')} |")
 
+    # pooled multi-day detection-rate-per-magnitude-bin table at each thresh
+    # (ref apply_calibration_routines.py:317-336), exact via per-day counts
+    by_th = {}
+    for day, th, r in rows:
+        agg = by_th.setdefault(th, {"n": 0, "m": 0, "rn": 0, "rm": 0,
+                                    "bins": {}})
+        agg["n"] += r["n_usgs"]
+        agg["m"] += r["n_matched"]
+        agg["rn"] += r["n_usgs"]
+        agg["rm"] += r["ref_n_matched"]
+        for mb in ("1", "2", "3", "4"):
+            k, nk = f"detection_rate_M{mb}", f"n_usgs_M{mb}"
+            if k in r and nk in r:
+                b = agg["bins"].setdefault(mb, [0, 0])
+                b[0] += round(r[k] * r[nk])
+                b[1] += r[nk]
+    days_n = len({day for day, _, _ in rows})
+    if days_n > 1:
+        print(f"\n### Pooled over {days_n} days")
+        print("| thresh | det rate (all M>1) | ref GENIE rate | "
+              "M>=1 | M>=2 | M>=3 | M>=4 |")
+        print("|---|---|---|---|---|---|---|")
+        for th in sorted(by_th):
+            a = by_th[th]
+            cells = []
+            for mb in ("1", "2", "3", "4"):
+                b = a["bins"].get(mb)
+                cells.append(f"{b[0]}/{b[1]} ({b[0]/max(b[1],1):.2f})"
+                             if b else "-")
+            print(f"| {th} | {a['m']}/{a['n']} ({a['m']/max(a['n'],1):.2f}) | "
+                  f"{a['rm']}/{a['rn']} ({a['rm']/max(a['rn'],1):.2f}) | "
+                  + " | ".join(cells) + " |")
+
 
 if __name__ == "__main__":
     main()
