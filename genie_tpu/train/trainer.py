@@ -240,6 +240,45 @@ def generate_batch(key, cfg: Config, ctx: DomainContext, trv_from_cart) -> Windo
     )
 
 
+def build_training_dataset(cfg: Config, ctx: DomainContext, trv_from_cart,
+                           out_dir, n_batches: int, seed: int = 0,
+                           job: int = 0, n_jobs: int = 1):
+    """Pre-materialize training batches to disk — the reference's
+    ``build_training_data`` job-array mode (train_GENIE_model.py:1411-1504;
+    each job writes its index stripe, the filesystem is the fabric). Batches
+    are one npz per WindowBatch, published atomically (temp + os.replace)
+    so a killed job never leaves a truncated file the loader would trust.
+    On-device generation is faster on TPU (the default path); this mode
+    exists for capability parity and for fixed-dataset reproducibility."""
+    import os
+
+    from pathlib import Path
+
+    gen = make_generate_batch(cfg, ctx, trv_from_cart)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+    written = []
+    for i in range(job, n_batches, n_jobs):
+        path = out_dir / f"training_batch_{i}.npz"
+        if path.exists():           # idempotent restart (atomic publish)
+            written.append(path)
+            continue
+        wb = gen(jax.random.fold_in(key, i))
+        # tmp keeps the .npz suffix (np.savez appends it otherwise)
+        tmp = path.with_name(".tmp_" + path.name)
+        np.savez_compressed(tmp, **{f: np.asarray(getattr(wb, f))
+                                    for f in wb._fields})
+        os.replace(tmp, path)
+        written.append(path)
+    return written
+
+
+def load_training_batch(path) -> WindowBatch:
+    z = np.load(path)
+    return WindowBatch(**{f: jnp.asarray(z[f]) for f in WindowBatch._fields})
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
@@ -255,6 +294,31 @@ def make_train_step(model: Detector, cfg: Config, ctx: DomainContext,
     def train_step(state: TrainState, key):
         wb = generate_batch(key, cfg, ctx, trv_from_cart)
 
+        def loss(p):
+            return loss_fn(model, p, ctx, cfg, wb, trv_from_cart)
+
+        (total, (parts, trgts, preds)), grads = jax.value_and_grad(
+            loss, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": total, "loss_grid": parts[0], "loss_query": parts[1],
+                   "loss_p": parts[2], "loss_s": parts[3],
+                   "trgts": trgts, "preds": preds}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step, optimizer
+
+
+def make_train_step_from_batch(model: Detector, cfg: Config, ctx: DomainContext,
+                               trv_from_cart, optimizer=None):
+    """Train step consuming a pre-built WindowBatch (the dataset mode twin
+    of :func:`make_train_step`; batches from :func:`build_training_dataset`
+    / :func:`load_training_batch`)."""
+    if optimizer is None:
+        optimizer = optax.adam(cfg.train.lr)
+
+    @jax.jit
+    def train_step(state: TrainState, wb: WindowBatch):
         def loss(p):
             return loss_fn(model, p, ctx, cfg, wb, trv_from_cart)
 

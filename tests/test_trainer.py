@@ -341,3 +341,40 @@ def test_legacy_travel_times_mask_branches():
     g = jax.grad(loss)(params)
     gn = jax.tree_util.tree_reduce(lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
     assert np.isfinite(gn) and gn > 0
+
+
+def test_dataset_prebuild_roundtrip(tmp_path):
+    """Dataset pre-build mode (ref train_GENIE_model.py:1411-1504): two
+    interleaved jobs write disjoint stripes atomically, the loader restores
+    byte-identical batches, and a training step consumes them."""
+    from genie_tpu.train.trainer import (build_training_dataset,
+                                         load_training_batch,
+                                         make_train_step_from_batch)
+
+    cfg = tiny_config()
+    ctx, tt = tiny_domain(cfg)
+    w0 = build_training_dataset(cfg, ctx, tt.from_cart, tmp_path, 4,
+                                seed=7, job=0, n_jobs=2)
+    w1 = build_training_dataset(cfg, ctx, tt.from_cart, tmp_path, 4,
+                                seed=7, job=1, n_jobs=2)
+    names = sorted(p.name for p in (*w0, *w1))
+    assert names == [f"training_batch_{i}.npz" for i in range(4)]
+    # idempotent restart: nothing rewritten
+    again = build_training_dataset(cfg, ctx, tt.from_cart, tmp_path, 4,
+                                   seed=7, job=0, n_jobs=2)
+    assert sorted(p.name for p in again) == sorted(p.name for p in w0)
+
+    wb = load_training_batch(tmp_path / "training_batch_0.npz")
+    fresh = jax.jit(lambda k: __import__("genie_tpu.train.trainer",
+                                         fromlist=["generate_batch"])
+                    .generate_batch(k, cfg, ctx, tt.from_cart))(
+        jax.random.fold_in(jax.random.PRNGKey(7), 0))
+    for f in wb._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(wb, f)),
+                                      np.asarray(getattr(fresh, f)), err_msg=f)
+
+    model = Detector(src_chunk=5)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+    step, _ = make_train_step_from_batch(model, cfg, ctx, tt.from_cart)
+    state, metrics = step(state, wb)
+    assert np.isfinite(float(metrics["loss"]))
