@@ -23,7 +23,7 @@ def visualize_predictions(out_path, step, grid_pos, lbl_grid, pred_grid,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    n_panels = 2 + (2 if x_query is not None else 0) + (1 if arv_p is not None else 0)
+    n_panels = 4 + (2 if x_query is not None else 0) + (1 if arv_p is not None else 0)
     fig, axes = plt.subplots(1, n_panels, figsize=(4 * n_panels, 4))
     axes = np.atleast_1d(axes)
 
@@ -37,7 +37,17 @@ def visualize_predictions(out_path, step, grid_pos, lbl_grid, pred_grid,
     axes[1].set_title("grid predictions")
     plt.colorbar(sc, ax=axes[1])
 
-    i = 2
+    # depth cross-sections (the reference's x–z panels, utils.py:1158-1190)
+    sc = axes[2].scatter(grid_pos[:, 0] / 1e3, grid_pos[:, 2] / 1e3,
+                         c=lbl_grid[:, it], s=8, vmin=0, vmax=1, cmap="viridis")
+    axes[2].set_title("labels x-z")
+    axes[2].set_xlabel("x (km)")
+    axes[2].set_ylabel("z (km)")
+    sc = axes[3].scatter(grid_pos[:, 0] / 1e3, grid_pos[:, 2] / 1e3,
+                         c=pred_grid[:, it], s=8, vmin=0, vmax=1, cmap="viridis")
+    axes[3].set_title("predictions x-z")
+
+    i = 4
     if x_query is not None:
         sc = axes[i].scatter(x_query[:, 0] / 1e3, x_query[:, 1] / 1e3,
                              c=lbl_query[:, it], s=4, vmin=0, vmax=1)
@@ -61,3 +71,53 @@ def visualize_predictions(out_path, step, grid_pos, lbl_grid, pred_grid,
     fig.savefig(out / f"predictions_step_{step}.png", dpi=110)
     plt.close(fig)
     return out / f"predictions_step_{step}.png"
+
+
+def plot_catalog_day(out_file, det, usgs=None, det_mags=None, usgs_mags=None,
+                     title=""):
+    """Day-catalog diagnostic: map view + depth cross-section of detections
+    vs the reference catalog, plus the origin-time timeline (the catalog-
+    level counterpart of the reference's map/cross-section panels,
+    utils.py:1118-1225). ``det``/``usgs``: (n, 4) Cartesian x,y,z + t."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    det = np.asarray(det).reshape(-1, 4)
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4.5))
+    axes[0].scatter(det[:, 0] / 1e3, det[:, 1] / 1e3, s=14, c="tab:red",
+                    label=f"detected ({len(det)})", alpha=0.75)
+    axes[1].scatter(det[:, 0] / 1e3, det[:, 2] / 1e3, s=14, c="tab:red",
+                    alpha=0.75)
+    sizes = (np.clip(np.asarray(det_mags, float), 0.5, 6) * 10
+             if det_mags is not None else 12)
+    axes[2].scatter(det[:, 3] / 3600.0, np.zeros(len(det)) + 1, s=sizes,
+                    c="tab:red", alpha=0.75)
+    if usgs is not None and len(usgs):
+        usgs = np.asarray(usgs).reshape(-1, 4)
+        axes[0].scatter(usgs[:, 0] / 1e3, usgs[:, 1] / 1e3, s=30,
+                        facecolors="none", edgecolors="k",
+                        label=f"USGS M>1 ({len(usgs)})")
+        axes[1].scatter(usgs[:, 0] / 1e3, usgs[:, 2] / 1e3, s=30,
+                        facecolors="none", edgecolors="k")
+        us = (np.clip(np.asarray(usgs_mags, float), 0.5, 6) * 10
+              if usgs_mags is not None else 24)
+        axes[2].scatter(usgs[:, 3] / 3600.0, np.zeros(len(usgs)), s=us,
+                        facecolors="none", edgecolors="k")
+    axes[0].set_xlabel("x (km)")
+    axes[0].set_ylabel("y (km)")
+    axes[0].legend(loc="upper right", fontsize=8)
+    axes[0].set_title(title or "map view")
+    axes[1].set_xlabel("x (km)")
+    axes[1].set_ylabel("z (km)")
+    axes[1].set_title("depth section")
+    axes[2].set_xlabel("hour of day")
+    axes[2].set_yticks([0, 1], ["USGS", "det"])
+    axes[2].set_ylim(-0.5, 1.5)
+    axes[2].set_title("origin times")
+    fig.tight_layout()
+    out = Path(out_file)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    return out

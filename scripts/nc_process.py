@@ -323,6 +323,16 @@ def main():
                 from genie_tpu.io import save_catalog
                 save_catalog(run_dir / f"catalog_{day}.hdf5", events,
                              pick_t=pick_t, pick_sta=pick_sta)
+                from genie_tpu.viz import plot_catalog_day
+                det4 = np.array([[*ev.pos_cart, ev.time]
+                                 for ev in events]).reshape(-1, 4)
+                cat_keep = cat[cat[:, 3] < args.t_end]
+                usgs4 = np.concatenate(
+                    (np.asarray(proj.to_cart_np(cat_keep[:, :3])),
+                     cat_keep[:, 3:4]), axis=1)
+                plot_catalog_day(run_dir / f"catalog_{day}.png", det4, usgs4,
+                                 usgs_mags=cat_keep[:, 4],
+                                 title=f"{day} thresh {th}")
         all_results[day] = day_res
 
     print(json.dumps(all_results), flush=True)

@@ -118,3 +118,15 @@ def test_magnitude_distance_params_roundtrip_and_qc():
     out = pipe.magnitude_distance_qc([ev_ok, ev_far], pick_sta)
     assert len(out) == 1 and out[0].time == 0.0  # far event fell below mins
     assert len(out[0].picks) == 4                 # nearby picks untouched
+
+
+def test_plot_catalog_day(tmp_path):
+    from genie_tpu.viz import plot_catalog_day
+
+    rng = np.random.default_rng(0)
+    det = rng.uniform(-50e3, 50e3, (12, 4)); det[:, 3] = rng.uniform(0, 86400, 12)
+    usgs = rng.uniform(-50e3, 50e3, (8, 4)); usgs[:, 3] = rng.uniform(0, 86400, 8)
+    p = plot_catalog_day(tmp_path / "day.png", det, usgs,
+                         det_mags=rng.uniform(1, 4, 12),
+                         usgs_mags=rng.uniform(1, 4, 8), title="test day")
+    assert p.exists() and p.stat().st_size > 10_000
