@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--graphs", type=int, default=12)
     ap.add_argument("--graph-size", type=int, default=24)
     ap.add_argument("--sta-budget", type=int, default=64)
+    ap.add_argument("--use-reference", action="store_true",
+                    help="attach matched USGS events as calibration anchors "
+                         "(the reference loss, train_double_difference_model"
+                         ".py:830-854)")
     args = ap.parse_args()
 
     import h5py
@@ -71,6 +75,18 @@ def main():
         jnp.asarray(obs), jnp.asarray(msk), jnp.asarray(sta_cart),
         n_graphs=args.graphs, graph_size=min(args.graph_size, S),
         sta_budget=args.sta_budget)
+    if args.use_reference:
+        from genie_tpu.infer.assign import maximize_bipartite_assignment
+        from genie_tpu.relocation.graphdd import attach_reference
+        *_, cat_m, _ = load_day(args.day)
+        usgs_c = np.concatenate((np.asarray(proj.to_cart_np(cat_m[:, :3])),
+                                 cat_m[:, 3:4]), axis=1)
+        det_m = np.concatenate((src_pos, src_time[:, None]), axis=1)
+        ia, ib = maximize_bipartite_assignment(det_m, usgs_c,
+                                               sig_x=25e3, sig_t=15.0)
+        graphs = [attach_reference(g, ia, usgs_c[ib, :3], usgs_c[ib, 3])
+                  for g in graphs]
+        print(f"{len(ia)} matched USGS anchors attached", flush=True)
     model = GNNLocation()
     params, loss = train_graphdd(jax.random.PRNGKey(1), model, trv.from_cart,
                                  jnp.asarray(sta_cart), graphs,
