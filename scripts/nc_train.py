@@ -106,6 +106,10 @@ def main():
     ap.add_argument("--n-grids", type=int, default=5)
     ap.add_argument("--n-batch", type=int, default=8)
     ap.add_argument("--boost", type=float, default=0.0)
+    ap.add_argument("--loss-weights", type=float, nargs=4, default=None,
+                    help="override the 4 output loss weights (grid, query, "
+                         "P assoc, S assoc); default = reference "
+                         "[0.1, 0.4, 0.25, 0.25]")
     ap.add_argument("--trv", choices=["homog", "pinn"], default="pinn")
     ap.add_argument("--trv-grids", choices=["fmm", "trv"], default=None,
                     help="source of precomputed grid travel times "
@@ -136,6 +140,8 @@ def main():
     cfg.model.normalize_readin = bool(args.readin_norm)
     cfg.train.positive_boost = args.boost
     cfg.train.lr = args.lr
+    if args.loss_weights is not None:
+        cfg.train.loss_weights = tuple(args.loss_weights)
     proj = nc_projection(cfg)
     sta_cart = np.asarray(proj.to_cart_np(sta_lla), np.float32)
     trv = make_trv(args, cfg, proj)
