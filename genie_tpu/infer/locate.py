@@ -19,10 +19,9 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("popsize", "n_iter", "fn"))
-def de_minimize(fn, bounds_lo, bounds_hi, key, popsize: int = 64, n_iter: int = 100,
-                f_weight: float = 0.6, cr: float = 0.9):
-    """Generic vectorized differential evolution (rand/1/bin).
+def _de_minimize_impl(fn, bounds_lo, bounds_hi, key, popsize: int = 64,
+                      n_iter: int = 100, f_weight: float = 0.6, cr: float = 0.9):
+    """Generic vectorized differential evolution (rand/1/bin), traceable.
 
     ``fn(x)`` maps (pop, d) → (pop,) costs; returns (x_best, cost_best).
     """
@@ -55,6 +54,12 @@ def de_minimize(fn, bounds_lo, bounds_hi, key, popsize: int = 64, n_iter: int = 
     return pop[ib], cost[ib]
 
 
+# jitted entry for callers with a STABLE objective (a fresh closure per call
+# recompiles — use locate_source, which caches per travel-time callable)
+de_minimize = partial(jax.jit, static_argnames=("fn", "popsize", "n_iter"))(
+    _de_minimize_impl)
+
+
 def make_location_objective(trv_from_cart, sta_cart, tpick, ipick, phase, pick_mask,
                             trim_fraction: float = 0.2, sig_t: float = 1.0):
     """Build the trimmed-residual objective for one source.
@@ -62,7 +67,11 @@ def make_location_objective(trv_from_cart, sta_cart, tpick, ipick, phase, pick_m
     tpick (n_pick,) window-relative; candidates x = (x, y, z, t0) Cartesian.
     """
     n_pick = tpick.shape[0]
-    n_keep = n_pick - int(trim_fraction * n_pick)
+    # the kept count follows the VALID pick count (dynamic), so padded pick
+    # arrays (bucketed static shapes — one jit compile per level instead of
+    # one per distinct pick count) trim identically to exact-length arrays
+    n_valid = pick_mask.sum()
+    n_keep = n_valid - jnp.floor(trim_fraction * n_valid).astype(n_valid.dtype)
 
     def objective(cand):
         # cand: (pop, 4)
@@ -74,25 +83,46 @@ def make_location_objective(trv_from_cart, sta_cart, tpick, ipick, phase, pick_m
         t_ph = jnp.take_along_axis(t_theory, ph[None, :, None], axis=2)[:, :, 0]
         res = jnp.abs(tpick[None, :] - (t_ph + t0[:, None])) / sig_t
         res = jnp.where(pick_mask[None, :], res, jnp.inf)
-        # trim worst residuals (finite ones); inf (masked) sorts last
+        # trim worst residuals: masked (inf) sort last, rank gate keeps the
+        # best n_keep valid ones
         res_sorted = jnp.sort(res, axis=1)
-        res_kept = jnp.where(jnp.isfinite(res_sorted[:, :n_keep]),
-                             res_sorted[:, :n_keep], 0.0)
-        cnt = jnp.isfinite(res_sorted[:, :n_keep]).sum(axis=1)
-        return res_kept.sum(axis=1) / jnp.maximum(cnt, 1)
+        keep = jnp.arange(n_pick)[None, :] < n_keep
+        vals = jnp.where(keep & jnp.isfinite(res_sorted), res_sorted, 0.0)
+        return vals.sum(axis=1) / jnp.maximum(n_keep, 1)
 
     return objective
+
+
+# One compiled locate per (travel-time callable, DE hyperparams): the
+# per-event objective is built INSIDE the trace from traced pick arrays, so
+# repeat calls hit the jit cache (retracing only on new padded shapes).
+# Passing a fresh closure to the static `fn` arg of de_minimize instead
+# recompiled every single event (~45 s/event on the tunneled backend).
+_locate_jit_cache: dict = {}
 
 
 def locate_source(key, trv_from_cart, sta_cart, tpick, ipick, phase, pick_mask,
                   bounds_lo, bounds_hi, popsize: int = 128, n_iter: int = 150,
                   trim_fraction: float = 0.2):
     """DE-locate one source; returns (pos_cart (3,), t0, cost)."""
-    obj = make_location_objective(trv_from_cart, sta_cart, tpick, ipick, phase,
-                                  pick_mask, trim_fraction)
-    x, c = de_minimize(obj, jnp.asarray(bounds_lo, jnp.float32),
-                       jnp.asarray(bounds_hi, jnp.float32), key,
-                       popsize=popsize, n_iter=n_iter)
+    ck = (id(trv_from_cart), popsize, n_iter, float(trim_fraction))
+    run = _locate_jit_cache.get(ck)
+    if run is None:
+        def _run(key, sta_cart, tpick, ipick, phase, pick_mask, lo, hi):
+            obj = make_location_objective(trv_from_cart, sta_cart, tpick,
+                                          ipick, phase, pick_mask,
+                                          trim_fraction)
+            return _de_minimize_impl(obj, lo, hi, key, popsize=popsize,
+                                     n_iter=n_iter)
+
+        run = jax.jit(_run)
+        _locate_jit_cache[ck] = (run, trv_from_cart)  # keep trv alive (id reuse)
+    else:
+        run = run[0]
+    x, c = run(key, sta_cart, jnp.asarray(tpick), jnp.asarray(ipick),
+               jnp.asarray(phase), jnp.asarray(pick_mask),
+               jnp.asarray(bounds_lo, jnp.float32),
+               jnp.asarray(bounds_hi, jnp.float32))
     return x[:3], x[3], c
 
 
@@ -144,11 +174,31 @@ def locate_source_pso(key, trv_from_cart, sta_cart, tpick, ipick, phase,
     return x[:3], x[3], c
 
 
+_uncert_jit_cache: dict = {}
+
+
 def location_uncertainty(trv_from_cart, sta_cart, pos, t0, tpick, ipick, phase,
                          pick_mask, sig_t: float = 1.0):
     """Gauss-Newton covariance of the located source from travel-time
     partials (the reference's autograd ``srcs_sigma``,
-    process_continuous_days.py:1576-1960). Returns (4,4) covariance."""
+    process_continuous_days.py:1576-1960). Returns (4,4) covariance.
+    Jitted per travel-time callable (eager jacfwd dispatched dozens of small
+    ops per event over the tunneled backend)."""
+    ck = (id(trv_from_cart), float(sig_t))
+    hit = _uncert_jit_cache.get(ck)
+    if hit is None:
+        run = jax.jit(lambda *a: _location_uncertainty_impl(trv_from_cart,
+                                                            sig_t, *a))
+        _uncert_jit_cache[ck] = (run, trv_from_cart)
+    else:
+        run = hit[0]
+    return run(sta_cart, jnp.asarray(pos), jnp.asarray(t0, jnp.float32),
+               jnp.asarray(tpick), jnp.asarray(ipick), jnp.asarray(phase),
+               jnp.asarray(pick_mask))
+
+
+def _location_uncertainty_impl(trv_from_cart, sig_t, sta_cart, pos, t0, tpick,
+                               ipick, phase, pick_mask):
     def resid(x):
         trv = trv_from_cart(sta_cart, x[None, :3])[0]            # (n_sta, 2)
         ph = phase[:, 0].astype(jnp.int32)

@@ -603,10 +603,22 @@ class InferencePipeline:
                              + np.asarray(self.ctx.scale_cart), [30.0])).astype(np.float32)
 
         def run_locate(ev, k):
-            tp = jnp.asarray((pick_t[ev.picks] - ev.time).astype(np.float32))
-            ip = jnp.asarray(pick_sta[ev.picks].astype(np.int32))
-            ph = jnp.asarray(ev.pick_phases.astype(np.float32)[:, None])
-            mask = jnp.ones(len(ev.picks), bool)
+            # bucket-pad pick arrays so locate_source compiles once per
+            # level, not once per distinct pick count (each fresh compile
+            # costs ~0.5-1 min on the tunneled backend — this was ~45 s per
+            # event on the first processed day)
+            n = len(ev.picks)
+            L = self._pad_level(n)
+            tp_np = np.zeros(L, np.float32)
+            tp_np[:n] = pick_t[ev.picks] - ev.time
+            ip_np = np.zeros(L, np.int32)
+            ip_np[:n] = pick_sta[ev.picks]
+            ph_np = np.zeros((L, 1), np.float32)
+            ph_np[:n, 0] = ev.pick_phases
+            mk_np = np.zeros(L, bool)
+            mk_np[:n] = True
+            tp, ip = jnp.asarray(tp_np), jnp.asarray(ip_np)
+            ph, mask = jnp.asarray(ph_np), jnp.asarray(mk_np)
             pos, t0, cost = locate_source(
                 k, self.trv, self.ctx.sta_cart, tp, ip, ph, mask, lo, hi,
                 trim_fraction=cfg.process.trim_fraction)

@@ -17,7 +17,7 @@ for day in "$@"; do
   if [ -s "$out" ]; then echo "[campaign] $day done, skip"; continue; fi
   echo "[campaign] $day start $(date -u +%H:%M:%S)"
   python -u "$R/scripts/nc_process.py" --run "$R/$RUN" --days "$day" \
-    --thresh 0.2 0.25 0.3 0.35 0.4 0.5 --n-grids "$NG" $HARG \
+    --thresh ${THRESHOLDS:-0.25 0.35} --n-grids "$NG" $HARG \
     --cache-sweep --save-catalog --json-out "$out" \
     > "$R/$RUN/process_${day}.log" 2>&1 &
   PID=$!
@@ -27,7 +27,7 @@ for day in "$@"; do
   if [ $rc -ne 0 ]; then
     echo "[campaign] $day FAILED rc=$rc (will retry once)"
     python -u "$R/scripts/nc_process.py" --run "$R/$RUN" --days "$day" \
-      --thresh 0.2 0.25 0.3 0.35 0.4 0.5 --n-grids "$NG" $HARG \
+      --thresh ${THRESHOLDS:-0.25 0.35} --n-grids "$NG" $HARG \
       --cache-sweep --save-catalog --json-out "$out" \
       >> "$R/$RUN/process_${day}.log" 2>&1 &
     PID=$!
