@@ -221,8 +221,12 @@ def main():
                          "(nc_calibrate.py output); wraps the surrogate and "
                          "shifts the cached grid tables")
     ap.add_argument("--save-catalog", action="store_true",
-                    help="save per-day catalog hdf5 (at the last thresh) "
-                         "into the run dir")
+                    help="save per-day catalog hdf5 into the run dir")
+    ap.add_argument("--catalog-thresh", type=float, default=None,
+                    help="threshold whose events become the saved catalog "
+                         "(default: the LAST of --thresh; a trailing 0.5 "
+                         "with zero detections silently saved an empty "
+                         "catalog before this flag)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -319,7 +323,9 @@ def main():
             res["thresh"] = th
             day_res[str(th)] = res
             print(day, th, res, flush=True)
-            if args.save_catalog:
+            cat_th = (args.catalog_thresh if args.catalog_thresh is not None
+                      else args.thresh[-1])
+            if args.save_catalog and th == cat_th:
                 from genie_tpu.io import save_catalog
                 save_catalog(run_dir / f"catalog_{day}.hdf5", events,
                              pick_t=pick_t, pick_sta=pick_sta)
