@@ -29,14 +29,15 @@ def test_wait_outlasts_short_stage_and_kills_long_stage(tmp_path, monkeypatch):
     pidfile.write_text(str(proc.pid))
 
     monkeypatch.setattr(time, "sleep", lambda s: None)  # fast-forward waits
-    t0 = time.time()
     bench.wait_for_tpu_tunnel(timeout_s=0.0, pidfile=str(pidfile))
-    # stage must be gone (SIGTERM then SIGKILL)
-    deadline = time.time() + 10
-    while proc.poll() is None and time.time() < deadline:
-        pass
-    assert proc.poll() is not None
-    assert time.time() - t0 < 30
+    # stage must be gone (SIGTERM then SIGKILL); wait() blocks instead of a
+    # busy-loop deadline so the test survives a heavily loaded host (the
+    # real TPU campaign may be compiling concurrently).
+    try:
+        proc.wait(timeout=60)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise AssertionError("stage survived SIGTERM+SIGKILL reclaim")
     assert not pidfile.exists()  # reclaimed record removed
 
 
