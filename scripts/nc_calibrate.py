@@ -59,10 +59,14 @@ def main():
             print(f"[cal] {day}: no catalog, skip", flush=True)
             continue
         events = load_catalog(cat_f)
-        pick_t, pick_sta, pick_ph, prob, ind_use, cat, ref_srcs, _ = \
-            load_day(day, dataset=args.dataset, return_amp=True)
-        keep = prob >= args.min_prob
-        pick_t, pick_sta = pick_t[keep], pick_sta[keep]
+        # event pick indices refer to the pick arrays SAVED WITH the catalog
+        # (the min_prob-filtered arrays the processing run actually used) —
+        # never re-derive them from load_day, whose filtering may differ
+        import h5py
+        with h5py.File(cat_f, "r") as f:
+            pick_t = np.asarray(f["pick_t"])
+            pick_sta = np.asarray(f["pick_sta"])
+        *_, cat, _ = load_day(day, dataset=args.dataset)
         if not events:
             continue
         det = np.array([[*ev.pos_cart, ev.time] for ev in events])
