@@ -127,6 +127,8 @@ def main():
     }
     np.savez(Path(args.run) / f"relocated_{args.day}.npz",
              src_init=det0, src_reloc=reloc)
+    (Path(args.run) / f"relocated_{args.day}.json").write_text(
+        json.dumps(out, indent=1))
     print(json.dumps(out), flush=True)
 
 
