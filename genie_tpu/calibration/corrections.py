@@ -157,6 +157,10 @@ def matched_catalog_stats(srcs_det, srcs_ref, sig_x=15e3, sig_t=5.0,
             sel = np.where(mags_ref >= m)[0]
             hit = len(set(sel) & set(ib.tolist()))
             stats[f"detection_rate_M{m:g}"] = hit / max(len(sel), 1)
+            # exact per-bin counts so multi-day summaries pool without
+            # reconstructing matched counts from a rounded rate
+            stats[f"n_matched_M{m:g}"] = hit
+            stats[f"n_reference_M{m:g}"] = int(len(sel))
     return stats
 
 

@@ -29,7 +29,6 @@ def main():
     ap.add_argument("--days", nargs="+", required=True,
                     help="days with catalog_<day>.hdf5 in the run dir")
     ap.add_argument("--dataset", default="100")
-    ap.add_argument("--min-prob", type=float, default=0.3)
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--sig-x", type=float, default=25e3)
     ap.add_argument("--sig-t", type=float, default=15.0)
@@ -37,6 +36,7 @@ def main():
                     help="output npz (default <run>/corrections_nc.npz)")
     args = ap.parse_args()
 
+    import h5py
     import jax
     import jax.numpy as jnp
     from genie_tpu.calibration.corrections import (fit_corrections,
@@ -62,8 +62,12 @@ def main():
         # event pick indices refer to the pick arrays SAVED WITH the catalog
         # (the min_prob-filtered arrays the processing run actually used) —
         # never re-derive them from load_day, whose filtering may differ
-        import h5py
         with h5py.File(cat_f, "r") as f:
+            if "pick_t" not in f or "pick_sta" not in f:
+                raise SystemExit(
+                    f"{cat_f} lacks embedded pick arrays; re-run "
+                    "nc_process --save-catalog so event pick indices have "
+                    "arrays to resolve against")
             pick_t = np.asarray(f["pick_t"])
             pick_sta = np.asarray(f["pick_sta"])
         *_, cat, _ = load_day(day, dataset=args.dataset)

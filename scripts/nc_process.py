@@ -220,6 +220,9 @@ def main():
                     help="calibrated travel-time corrections npz "
                          "(nc_calibrate.py output); wraps the surrogate and "
                          "shifts the cached grid tables")
+    ap.add_argument("--sweep-only", action="store_true",
+                    help="compute + cache the day sweep and stop (campaign "
+                         "sweep pass; post-processing runs later from cache)")
     ap.add_argument("--save-catalog", action="store_true",
                     help="save per-day catalog hdf5 into the run dir")
     ap.add_argument("--catalog-thresh", type=float, default=None,
@@ -309,6 +312,9 @@ def main():
               f"p99.9 {np.percentile(series, 99.9):.3f}", flush=True)
         if args.probe:
             probe_events(proj, pipe.x_query, times_s, series, cat, args.t_end)
+        if args.sweep_only:
+            all_results[day] = {"sweep_s": round(t_sweep, 1)}
+            continue
 
         day_res = {}
         for th in args.thresh:

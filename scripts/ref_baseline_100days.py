@@ -64,11 +64,10 @@ def main():
         tot["n_det"] += row["n_det"]
         tot["n_matched"] += row["n_matched"]
         for m in bins:
-            sel = cat[:, 4] >= m
-            k = f"detection_rate_M{m:g}"
-            if k in st and sel.sum():
-                bins[m][0] += int(round(float(st[k]) * sel.sum()))
-                bins[m][1] += int(sel.sum())
+            k = f"n_matched_M{m:g}"
+            if k in st:
+                bins[m][0] += int(st[k])
+                bins[m][1] += int(st[f"n_reference_M{m:g}"])
 
     pooled = {
         "days": sum(1 for v in per_day.values() if "error" not in v),
