@@ -142,6 +142,12 @@ class SyntheticConfig:
     coda_win: tuple[float, float] = (0.0, 20.0)
     max_num_spikes: int = 10
     spike_time_spread: float = 0.15
+    # false-pick "clean interval" carve-out (ref train_GENIE_model.py:
+    # 748-755): zero the false-pick rate over one random contiguous
+    # 10-30% stretch of the window so training also sees clutter-free
+    # events (stabilizes attention on single-pick-per-station inputs)
+    use_clean_data_interval: bool = True
+    clean_interval_frac: tuple[float, float] = (0.1, 0.3)
     s_extra: float = 0.0
     total_bias: float = 0.03
     use_stable_association_labels: bool = True

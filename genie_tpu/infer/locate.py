@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -182,28 +183,55 @@ def location_uncertainty_batched(trv_from_cart, sta_cart, pos, t0, tpick,
 @partial(jax.jit, static_argnames=("popsize", "n_iter", "fn"))
 def pso_minimize(fn, bounds_lo, bounds_hi, key, popsize: int = 64,
                  n_iter: int = 100, w: float = 0.7, c1: float = 1.5,
-                 c2: float = 1.5):
+                 c2: float = 1.5, hull_A=None, hull_b=None):
     """Vectorized particle-swarm optimizer — the reference's alternative
     locator (``MLE_particle_swarm_location_with_hull``,
-    process_utils.py:1358-1461), with bound clipping standing in for the
-    convex-hull projection."""
+    process_utils.py:1358-1461). With ``hull_A``/``hull_b`` (half-space form
+    of the station hull from :func:`genie_tpu.utils.hull_halfspaces`),
+    particles leaving the hull are re-initialized uniformly in the bounds —
+    the reference's hull handling (:1415-1422) — otherwise plain bound
+    clipping applies."""
     d = bounds_lo.shape[0]
     k0, k1, key = jax.random.split(key, 3)
     pos = bounds_lo + (bounds_hi - bounds_lo) * jax.random.uniform(k0, (popsize, d))
     vel = 0.1 * (bounds_hi - bounds_lo) * jax.random.normal(k1, (popsize, d))
     cost = fn(pos)
+    if hull_A is not None:
+        # initial out-of-hull particles must not seed pbest/gbest; they are
+        # re-drawn inside step 1's re-initialization
+        nd = hull_A.shape[1]
+        outside0 = ((pos[:, :nd] @ hull_A.T + hull_b[None]) > 1e-6).any(1)
+        cost = jnp.where(outside0, jnp.inf, cost)
     pbest, pbest_c = pos, cost
     gbest = pos[jnp.argmin(cost)]
     gbest_c = cost.min()
 
     def step(carry, k):
         pos, vel, pbest, pbest_c, gbest, gbest_c = carry
-        ka, kb = jax.random.split(k)
+        ka, kb, kc, kd = jax.random.split(k, 4)
         r1 = jax.random.uniform(ka, pos.shape)
         r2 = jax.random.uniform(kb, pos.shape)
         vel = w * vel + c1 * r1 * (pbest - pos) + c2 * r2 * (gbest[None] - pos)
         pos = jnp.clip(pos + vel, bounds_lo, bounds_hi)
+        if hull_A is not None:
+            # out-of-hull particles restart uniformly with fresh velocity
+            # (spatial dims only; any trailing dims, e.g. origin time, are
+            # resampled with them as the reference re-draws the full state)
+            nd = hull_A.shape[1]
+            outside = ((pos[:, :nd] @ hull_A.T + hull_b[None]) > 1e-6).any(1)
+            pos_new = bounds_lo + (bounds_hi - bounds_lo) * \
+                jax.random.uniform(kc, pos.shape)
+            vel_new = 0.1 * (bounds_hi - bounds_lo) * \
+                jax.random.normal(kd, vel.shape)
+            pos = jnp.where(outside[:, None], pos_new, pos)
+            vel = jnp.where(outside[:, None], vel_new, vel)
         cost = fn(pos)
+        if hull_A is not None:
+            # a re-drawn particle may itself land outside: it keeps moving
+            # but never enters pbest/gbest (strict containment of the result)
+            nd = hull_A.shape[1]
+            still_out = ((pos[:, :nd] @ hull_A.T + hull_b[None]) > 1e-6).any(1)
+            cost = jnp.where(still_out, jnp.inf, cost)
         better = cost < pbest_c
         pbest = jnp.where(better[:, None], pos, pbest)
         pbest_c = jnp.where(better, cost, pbest_c)
@@ -218,12 +246,34 @@ def pso_minimize(fn, bounds_lo, bounds_hi, key, popsize: int = 64,
 
 def locate_source_pso(key, trv_from_cart, sta_cart, tpick, ipick, phase,
                       pick_mask, bounds_lo, bounds_hi, popsize: int = 128,
-                      n_iter: int = 120, trim_fraction: float = 0.2):
+                      n_iter: int = 120, trim_fraction: float = 0.2,
+                      hull_points=None, n_depth: int = 64):
+    """PSO locator with the reference's hull handling and final depth
+    line-search (process_utils.py:1358-1461): ``hull_points`` (e.g. station
+    positions) bound the search to their convex hull; after convergence the
+    depth axis is re-scanned at the best epicenter and the argmax kept."""
     obj = make_location_objective(trv_from_cart, sta_cart, tpick, ipick, phase,
                                   pick_mask, trim_fraction)
-    x, c = pso_minimize(obj, jnp.asarray(bounds_lo, jnp.float32),
-                        jnp.asarray(bounds_hi, jnp.float32), key,
-                        popsize=popsize, n_iter=n_iter)
+    lo = jnp.asarray(bounds_lo, jnp.float32)
+    hi = jnp.asarray(bounds_hi, jnp.float32)
+    hull_A = hull_b = None
+    if hull_points is not None:
+        from genie_tpu.utils import hull_halfspaces
+        A, b = hull_halfspaces(np.asarray(hull_points)[:, :2])  # epicentral hull
+        hull_A = jnp.asarray(A, jnp.float32)
+        hull_b = jnp.asarray(b, jnp.float32)
+    x, c = pso_minimize(obj, lo, hi, key, popsize=popsize, n_iter=n_iter,
+                        hull_A=hull_A, hull_b=hull_b)
+    # depth line-search at the converged epicenter (ref :1452-1460)
+    kz = jax.random.fold_in(key, 101)
+    dz = (hi[2] - lo[2]) / n_depth
+    zq = jnp.linspace(lo[2], hi[2], n_depth) + dz * jax.random.normal(kz, (n_depth,))
+    zq = jnp.clip(zq, lo[2], hi[2])
+    cand = jnp.broadcast_to(x[None], (n_depth, x.shape[0])).at[:, 2].set(zq)
+    cz = obj(cand)
+    iz = jnp.argmin(cz)
+    x = jnp.where(cz[iz] < c, cand[iz], x)
+    c = jnp.minimum(cz[iz], c)
     return x[:3], x[3], c
 
 

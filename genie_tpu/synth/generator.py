@@ -282,6 +282,20 @@ def synthesize_timeline(key, cfg, sta_cart, trv_from_cart, scale_cart, offset_ca
     false_ph = jax.random.randint(jax.random.fold_in(keys[22], 1), (NF,), 0, 2)
     false_m = jnp.arange(NF) < n_false
 
+    # clean-interval carve-out (:748-755): zero the false-pick rate over one
+    # random contiguous 10-30% stretch of the window so clutter-free events
+    # also appear in training. Masking the drawn picks is equivalent to
+    # zeroing the Poisson rate there; spikes (below) are exempt, as the
+    # reference appends them after the carve-out.
+    if cfg.use_clean_data_interval:
+        kc = jax.random.fold_in(keys[21], 7)
+        f0, f1 = cfg.clean_interval_frac
+        frac = f0 + (f1 - f0) * jax.random.uniform(kc)
+        start = jax.random.uniform(jax.random.fold_in(kc, 1)) * (1.0 - frac) * T
+        in_clean = (false_t >= start) & (false_t < start + frac * T)
+    else:
+        in_clean = jnp.zeros((NF,), bool)
+
     # network-wide spikes (:769-779): relocate some false picks to shared times
     n_spk = cfg.max_num_spikes
     spk_t = jax.random.uniform(keys[23], (n_spk,)) * T
@@ -289,6 +303,7 @@ def synthesize_timeline(key, cfg, sta_cart, trv_from_cart, scale_cart, offset_ca
     in_spike = jax.random.uniform(jax.random.fold_in(keys[23], 2), (NF,)) < 0.1
     spread = jax.random.normal(jax.random.fold_in(keys[23], 3), (NF,)) * cfg.spike_time_spread
     false_t = jnp.where(in_spike, spk_t[spk_assign] + spread, false_t)
+    false_m = false_m & (in_spike | ~in_clean)
 
     pick_t = jnp.concatenate((true_t, coda_t, false_t))
     pick_sta = jnp.concatenate((true_sta, true_sta, false_sta)).astype(jnp.int32)

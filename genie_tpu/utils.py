@@ -24,6 +24,18 @@ def in_hull(points, hull_points):
     return tri.find_simplex(np.asarray(points)) >= 0
 
 
+def hull_halfspaces(hull_points):
+    """Half-space form (A, b) of the convex hull of ``hull_points``:
+    x is inside iff ``A @ x + b <= 0`` for all rows. The jittable
+    counterpart of :func:`in_hull` — precompute on host, test on device
+    (used by the PSO locator's hull projection, ref
+    process_utils.py:1415-1422)."""
+    from scipy.spatial import ConvexHull
+
+    eq = ConvexHull(np.asarray(hull_points)).equations  # (n_facets, d+1)
+    return eq[:, :-1].copy(), eq[:, -1].copy()
+
+
 def select_stations_within_pick_budget(pick_counts, max_picks: int):
     """Indices of the largest station subset with Σ picks ≤ max_picks.
 

@@ -312,3 +312,91 @@ def test_dense_component_falls_back_to_heuristic_within_gap():
         obj = tot - cost * active.sum()
         bf = _brute_force_assignment_obj(w, ipick, cost)
         assert obj >= 0.97 * bf - 1e-9, (obj, bf)
+
+
+def test_locate_sources_batched_matches_planted_events():
+    """Vmapped DE location (one device call per bucket) recovers several
+    planted events as well as the single-event path."""
+    from genie_tpu.infer.locate import (locate_sources_batched,
+                                        location_uncertainty_batched)
+
+    rng = np.random.default_rng(4)
+    proj = Projection.from_center((40.0, -124.0))
+    tt = HomogeneousTravelTime(proj)
+    n_sta, n_ev, L = 16, 5, 32
+    sta = rng.uniform(-60e3, 60e3, (n_sta, 3)).astype(np.float32)
+    sta[:, 2] = 0.0
+    true_pos = rng.uniform(-40e3, 40e3, (n_ev, 3)).astype(np.float32)
+    true_pos[:, 2] = rng.uniform(-20e3, -3e3, n_ev)
+    true_t0 = rng.uniform(0, 10, n_ev).astype(np.float32)
+    tp = np.zeros((n_ev, L), np.float32)
+    ip = np.zeros((n_ev, L), np.int32)
+    ph = np.zeros((n_ev, L, 1), np.float32)
+    mk = np.zeros((n_ev, L), bool)
+    for e in range(n_ev):
+        trv = np.asarray(tt.from_cart(jnp.asarray(sta),
+                                      jnp.asarray(true_pos[e][None])))[0]
+        k = 0
+        for s in range(n_sta):
+            tp[e, k] = true_t0[e] + trv[s, 0]; ip[e, k] = s; k += 1
+            if s % 2 == 0:
+                tp[e, k] = true_t0[e] + trv[s, 1]; ip[e, k] = s
+                ph[e, k, 0] = 1.0; k += 1
+        mk[e, :k] = True
+    lo = np.array([-80e3, -80e3, -40e3, -10.0], np.float32)
+    hi = np.array([80e3, 80e3, 2e3, 30.0], np.float32)
+    pos, t0, cost = locate_sources_batched(
+        jax.random.PRNGKey(1), tt.from_cart, jnp.asarray(sta),
+        tp, ip, ph, mk, lo, hi, popsize=96, n_iter=120)
+    pos, t0 = np.asarray(pos), np.asarray(t0)
+    assert (np.linalg.norm(pos - true_pos, axis=1) < 3e3).all()
+    assert (np.abs(t0 - true_t0) < 0.5).all()
+    cov = location_uncertainty_batched(tt.from_cart, jnp.asarray(sta),
+                                       pos, t0, tp, ip, ph, mk)
+    assert np.asarray(cov).shape == (n_ev, 4, 4)
+    assert np.all(np.isfinite(np.asarray(cov)))
+
+
+def test_pso_hull_reinit_and_depth_search():
+    """PSO with station-hull half-spaces keeps the solution inside the hull
+    (out-of-hull particles are re-initialized, ref process_utils.py:
+    1415-1422) and the final depth line-search recovers a deep source."""
+    from genie_tpu.infer.locate import locate_source_pso, pso_minimize
+    from genie_tpu.utils import hull_halfspaces
+
+    # hull containment: minimize distance to a target OUTSIDE the hull
+    pts = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10]], np.float32)
+    A, b = hull_halfspaces(pts)
+    target = jnp.asarray([25.0, 5.0])
+    obj = lambda x: jnp.linalg.norm(x - target[None], axis=1)
+    lo = jnp.asarray([-5.0, -5.0]); hi = jnp.asarray([30.0, 30.0])
+    x_free, _ = pso_minimize(obj, lo, hi, jax.random.PRNGKey(0),
+                             popsize=64, n_iter=60)
+    x_hull, _ = pso_minimize(obj, lo, hi, jax.random.PRNGKey(0),
+                             popsize=64, n_iter=60,
+                             hull_A=jnp.asarray(A, jnp.float32),
+                             hull_b=jnp.asarray(b, jnp.float32))
+    assert float(x_free[0]) > 20.0          # unconstrained reaches target
+    inside = (np.asarray(x_hull) @ A.T + b) <= 1e-3
+    assert inside.all()                      # constrained stays in hull
+
+    # full locator: planted deep event, stations at the surface
+    rng = np.random.default_rng(7)
+    proj = Projection.from_center((40.0, -124.0))
+    tt = HomogeneousTravelTime(proj)
+    n_sta = 16
+    sta = rng.uniform(-50e3, 50e3, (n_sta, 3)).astype(np.float32)
+    sta[:, 2] = 0.0
+    true_pos = np.array([5e3, -8e3, -22e3], np.float32)
+    trv = np.asarray(tt.from_cart(jnp.asarray(sta), jnp.asarray(true_pos[None])))[0]
+    tp = jnp.asarray(2.0 + trv[:, 0])
+    ip = jnp.asarray(np.arange(n_sta, dtype=np.int32))
+    ph = jnp.zeros((n_sta, 1), jnp.float32)
+    mk = jnp.ones(n_sta, bool)
+    lo4 = np.array([-80e3, -80e3, -40e3, -10.0], np.float32)
+    hi4 = np.array([80e3, 80e3, 2e3, 30.0], np.float32)
+    pos, t0, cost = locate_source_pso(
+        jax.random.PRNGKey(2), tt.from_cart, jnp.asarray(sta), tp, ip, ph, mk,
+        lo4, hi4, popsize=128, n_iter=150, hull_points=sta)
+    assert np.linalg.norm(np.asarray(pos)[:2] - true_pos[:2]) < 5e3
+    assert abs(float(t0) - 2.0) < 1.0

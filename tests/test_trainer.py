@@ -378,3 +378,30 @@ def test_dataset_prebuild_roundtrip(tmp_path):
     step, _ = make_train_step_from_batch(model, cfg, ctx, tt.from_cart)
     state, metrics = step(state, wb)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_clean_data_interval_carves_false_picks():
+    """use_clean_data_interval (ref train_GENIE_model.py:748-755): one
+    random contiguous stretch of the window must lose its (non-spike) false
+    picks, so the kept false count drops roughly by the carved fraction."""
+    from genie_tpu.synth.generator import synthesize_timeline
+
+    def run(enabled):
+        cfg = tiny_config()
+        cfg.synth.use_clean_data_interval = enabled
+        cfg.synth.clean_interval_frac = (0.5, 0.5)
+        cfg.synth.coda_rate = 0.0  # coda picks also carry event id -1
+        cfg.synth.max_rate_events = 200.0  # enough true picks to seed falses
+        ctx, tt = tiny_domain(cfg)
+        tl = synthesize_timeline(
+            jax.random.PRNGKey(0), cfg.synth, ctx.sta_cart, tt.from_cart,
+            ctx.scale_cart, ctx.offset_cart,
+            (ctx.offset_cart[2], ctx.offset_cart[2] + ctx.scale_cart[2]),
+            n_sta_real=ctx.sta_cart.shape[0])
+        m = np.asarray(tl.pick_mask) & (np.asarray(tl.pick_event) == -1)
+        return np.asarray(tl.pick_t)[m]
+
+    t_off, t_on = run(False), run(True)
+    assert len(t_on) > 0
+    # carved run keeps clearly fewer false picks (50% carve, spikes exempt)
+    assert len(t_on) < 0.8 * len(t_off)
