@@ -120,7 +120,9 @@ def bench_torch_cpu():
 TPU_STAGE_PIDFILE = "/root/repo/projects/NC_EHZ/.tpu_stage.pid"
 
 
-def wait_for_tpu_tunnel(timeout_s: float = 300.0, pidfile: str = TPU_STAGE_PIDFILE):
+def wait_for_tpu_tunnel(timeout_s: float = 300.0, pidfile: str = TPU_STAGE_PIDFILE,
+                        poll_s: float = 10.0, grace_s: float = 20.0,
+                        release_s: float = 10.0):
     """The axon TPU tunnel admits ONE client. Long-running campaign stages
     (training, day processing) record their PID in a well-known pidfile;
     wait for the active stage to exit, then — as a last resort so the
@@ -139,11 +141,18 @@ def wait_for_tpu_tunnel(timeout_s: float = 300.0, pidfile: str = TPU_STAGE_PIDFI
         return
 
     def is_our_stage(p):
-        try:
-            cmd = open(f"/proc/{p}/cmdline", "rb").read().replace(b"\0", b" ")
-        except OSError:
-            return False
-        return b"python" in cmd
+        # /proc/<p>/cmdline can transiently read empty under load (or for a
+        # zombie); retry briefly before declaring the record stale so a live
+        # stage is never misclassified — and never killed as "ours" either.
+        for _ in range(3):
+            try:
+                cmd = open(f"/proc/{p}/cmdline", "rb").read().replace(b"\0", b" ")
+            except OSError:
+                return False
+            if cmd:
+                return b"python" in cmd
+            time.sleep(min(poll_s, 0.05))
+        return False
 
     def alive(p):
         try:
@@ -165,18 +174,23 @@ def wait_for_tpu_tunnel(timeout_s: float = 300.0, pidfile: str = TPU_STAGE_PIDFI
             try:
                 if is_our_stage(pid):
                     os.kill(pid, signal.SIGTERM)
-                time.sleep(20)
+                # real grace deadline: poll instead of one blind sleep, so
+                # a fast exit proceeds immediately and a slow one still
+                # gets SIGKILL exactly once the grace expires
+                t_term = time.time()
+                while alive(pid) and time.time() - t_term < grace_s:
+                    time.sleep(min(poll_s, 0.1))
                 if alive(pid) and is_our_stage(pid):
                     os.kill(pid, signal.SIGKILL)
             except OSError:  # TOCTOU: target exited between checks
                 pass
             break
-        time.sleep(10)
+        time.sleep(poll_s)
     try:
         os.remove(pidfile)  # reclaimed: drop the now-dead record
     except OSError:
         pass
-    time.sleep(10)  # let the tunnel release
+    time.sleep(release_s)  # let the tunnel release
 
 
 def main():

@@ -21,18 +21,20 @@ def test_wait_returns_immediately_without_pidfile(tmp_path):
     assert time.time() - t0 < 5.0
 
 
-def test_wait_outlasts_short_stage_and_kills_long_stage(tmp_path, monkeypatch):
+def test_wait_outlasts_short_stage_and_kills_long_stage(tmp_path):
     import bench
 
     pidfile = tmp_path / ".tpu_stage.pid"
-    proc = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    # the stage sleeps far longer than any deadline below, so "survived"
+    # vs "reclaimed" is unambiguous even on a heavily loaded host
+    proc = subprocess.Popen([sys.executable, "-c",
+                             "import time; time.sleep(600)"])
     pidfile.write_text(str(proc.pid))
 
-    monkeypatch.setattr(time, "sleep", lambda s: None)  # fast-forward waits
-    bench.wait_for_tpu_tunnel(timeout_s=0.0, pidfile=str(pidfile))
-    # stage must be gone (SIGTERM then SIGKILL); wait() blocks instead of a
-    # busy-loop deadline so the test survives a heavily loaded host (the
-    # real TPU campaign may be compiling concurrently).
+    # real (small) poll/grace deadlines instead of monkeypatching time.sleep:
+    # the guard SIGTERMs at timeout, polls the grace window, then SIGKILLs
+    bench.wait_for_tpu_tunnel(timeout_s=0.0, pidfile=str(pidfile),
+                              poll_s=0.05, grace_s=2.0, release_s=0.0)
     try:
         proc.wait(timeout=60)
     except subprocess.TimeoutExpired:
@@ -41,29 +43,29 @@ def test_wait_outlasts_short_stage_and_kills_long_stage(tmp_path, monkeypatch):
     assert not pidfile.exists()  # reclaimed record removed
 
 
-def test_stale_pid_of_foreign_process_is_never_killed(tmp_path, monkeypatch):
+def test_stale_pid_of_foreign_process_is_never_killed(tmp_path):
     """PID reuse: a pidfile pointing at a non-python process must be treated
     as stale — removed, nothing signalled."""
     import bench
 
     pidfile = tmp_path / ".tpu_stage.pid"
-    proc = subprocess.Popen(["sleep", "60"])  # alive but NOT a python stage
+    proc = subprocess.Popen(["sleep", "600"])  # alive but NOT a python stage
     pidfile.write_text(str(proc.pid))
-    monkeypatch.setattr(time, "sleep", lambda s: None)
-    bench.wait_for_tpu_tunnel(timeout_s=0.0, pidfile=str(pidfile))
+    bench.wait_for_tpu_tunnel(timeout_s=0.0, pidfile=str(pidfile),
+                              poll_s=0.05, grace_s=0.5, release_s=0.0)
     assert proc.poll() is None  # untouched
     assert not pidfile.exists()  # stale record cleaned up
     proc.kill()
     proc.wait()
 
 
-def test_dead_pid_is_cleaned_up_without_error(tmp_path, monkeypatch):
+def test_dead_pid_is_cleaned_up_without_error(tmp_path):
     import bench
 
     pidfile = tmp_path / ".tpu_stage.pid"
     proc = subprocess.Popen([sys.executable, "-c", "pass"])
     proc.wait()  # guaranteed dead; PID almost certainly not yet reused
     pidfile.write_text(str(proc.pid))
-    monkeypatch.setattr(time, "sleep", lambda s: None)
-    bench.wait_for_tpu_tunnel(timeout_s=0.0, pidfile=str(pidfile))
+    bench.wait_for_tpu_tunnel(timeout_s=0.0, pidfile=str(pidfile),
+                              poll_s=0.05, grace_s=0.5, release_s=0.0)
     assert not pidfile.exists()
