@@ -41,15 +41,26 @@ def read_stations_txt(path):
 
 
 def init_project(root, cfg: Config, sta_lla=None, sta_names=None,
-                 stations_txt=None, n_steps_grids: int = 800, seed: int = 0):
+                 stations_txt=None, fdsn=None, n_steps_grids: int = 800,
+                 seed: int = 0):
     """Create the project tree, projection, stations.npz, region.npz, and
-    the spatial grids. Returns (dirs, projection, grids_lla)."""
+    the spatial grids. Returns (dirs, projection, grids_lla).
+
+    Stations come from ``sta_lla`` arrays, a ``stations_txt`` file, or —
+    with ``fdsn=dict(starttime=..., endtime=..., network=..., client=...)``
+    — a live FDSN inventory query over the config's region
+    (``genie_tpu.setup.fdsn.download_stations``; requires obspy)."""
     dirs = project_dirs(root, cfg.region.name)
     if sta_lla is None:
-        if stations_txt is None:
-            raise ValueError("provide sta_lla arrays or stations_txt path "
-                             "(FDSN download requires obspy, not vendored)")
-        sta_lla, sta_names = read_stations_txt(stations_txt)
+        if fdsn is not None:
+            from genie_tpu.setup.fdsn import download_stations
+            sta_lla, sta_names = download_stations(
+                cfg.region.lat_range, cfg.region.lon_range, **fdsn)
+        elif stations_txt is not None:
+            sta_lla, sta_names = read_stations_txt(stations_txt)
+        else:
+            raise ValueError("provide sta_lla arrays, a stations_txt path, "
+                             "or fdsn=dict(...) query parameters (obspy)")
 
     rbest, mn = fit_projection(cfg.region.center,
                                spherical=cfg.region.use_spherical)

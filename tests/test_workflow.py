@@ -179,3 +179,78 @@ def test_topography_clamps_synthetic_event_depths():
     mask = np.asarray(tl.ev_mask)
     es = np.asarray(surface_elevation(surf_j, jnp.asarray(ev[:, :2])))
     assert np.all(ev[mask, 2] <= es[mask] + 1e-3)
+
+
+def test_fdsn_acquisition_with_stubbed_obspy(tmp_path, monkeypatch):
+    """The import-guarded FDSN path (ref make_initial_files.py:12-34,
+    utils.py:1095-1116): a stubbed obspy exercises inventory + catalog
+    download end-to-end through init_project(fdsn=...) without network."""
+    import sys
+    import types
+
+    class _Sta:
+        def __init__(self, code, lat, lon, elev):
+            self.code, self.latitude = code, lat
+            self.longitude, self.elevation = lon, elev
+
+    class _UTC(float):
+        def __new__(cls, *a):
+            return super().__new__(cls, a[0] if len(a) == 1 else 0.0)
+        def __sub__(self, other):
+            return float(self) - float(other)
+
+    class _Origin:
+        def __init__(self, lat, lon, dep, t):
+            self.latitude, self.longitude = lat, lon
+            self.depth, self.time = dep, _UTC(t)
+
+    class _Mag:
+        def __init__(self, m):
+            self.mag = m
+
+    class _Ev:
+        def __init__(self, lat, lon, dep, t, m):
+            self.origins = [_Origin(lat, lon, dep, t)]
+            self.magnitudes = [_Mag(m)]
+            self.event_type = "earthquake"
+
+    class _Client:
+        def __init__(self, name):
+            self.name = name
+        def get_stations(self, **kw):
+            net = [_Sta("B", 40.5, -124.2, 100.0), _Sta("A", 40.1, -124.0, 50.0)]
+            return [net]  # one network
+        def get_events(self, **kw):
+            return [_Ev(40.3, -124.1, 5000.0, 100.0, 2.1),
+                    _Ev(40.4, -124.3, 8000.0, 200.0, 3.0)]
+
+    obspy = types.ModuleType("obspy")
+    core = types.ModuleType("obspy.core")
+    core.UTCDateTime = _UTC
+    clients = types.ModuleType("obspy.clients")
+    fdsn_mod = types.ModuleType("obspy.clients.fdsn")
+    fdsn_mod.Client = _Client
+    for name, mod in [("obspy", obspy), ("obspy.core", core),
+                      ("obspy.clients", clients), ("obspy.clients.fdsn", fdsn_mod)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    from genie_tpu.setup.fdsn import download_catalog, download_stations
+
+    lla, names = download_stations((39, 42), (-126, -122), 0.0, 1.0)
+    assert list(names) == ["A", "B"]  # latitude-sorted
+    assert lla.shape == (2, 3) and lla[0, 0] == 40.1
+
+    cat, evs, types_ = download_catalog((39, 42), (-126, -122), 1.0, 0.0, 1.0,
+                                        t0=_UTC(0.0))
+    assert cat.shape == (2, 5)
+    assert cat[0].tolist() == [40.3, -124.1, -5000.0, 100.0, 2.1]
+    assert (types_ == "earthquake").all()
+
+    # end-to-end through init_project
+    cfg = small_cfg()
+    dirs, proj, grids = init_project(
+        tmp_path, cfg, fdsn=dict(starttime=0.0, endtime=1.0),
+        n_steps_grids=20)
+    import numpy as _np
+    z = _np.load(tmp_path / "TestProj_stations.npz", allow_pickle=True)
+    assert list(z["stas"]) == ["A", "B"]
