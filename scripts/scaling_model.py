@@ -64,13 +64,13 @@ def main():
     nbr = np.asarray(knn_tiled(jnp.asarray(src), jnp.asarray(src), args.k_src)[0])
     part = build_partition(src, nbr, args.n_shards)
     n_local = args.n_src // args.n_shards
-    # worst-case per-pair halo budget H is what the static plan allocates;
-    # actual rows sent is the sum of valid entries
-    sent = int(part.send_valid.sum()) // args.n_shards  # mean rows sent/shard
-    H = int(part.halo_pad)
+    # the per-offset ppermute plan moves halo_total rows per shard (incl.
+    # per-offset padding); the exact requirement is halo_rows_valid
+    sent = part.halo_total                   # rows moved per shard, padded
+    exact = part.halo_rows_valid // args.n_shards
     print(f"partition: {args.n_shards} shards x {n_local} local rows, "
-          f"halo budget H={H}/pair, mean rows exchanged/shard {sent} "
-          f"({100.0 * sent / n_local:.1f}% of local)")
+          f"halo rows moved/shard {sent} (exact {exact}, offsets "
+          f"{part.offsets}) — {100.0 * sent / n_local:.1f}% of local)")
 
     C, n_sta = args.channels, args.n_sta
     bytes_ici = 2 * sent * n_sta * C * 4                      # send + recv
