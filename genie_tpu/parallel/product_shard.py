@@ -160,7 +160,7 @@ def build_partition(src_pos, src_nbr, n_shards: int) -> SrcPartition:
 
 
 def halo_exchange(x_local, part: SrcPartition, shard_id, axis_name: str,
-                  remap_block=None):
+                  remap_block=None, wire_dtype=None):
     """Inside shard_map: exchange halo rows — one ``ppermute`` per active
     circular shard offset, each padded only to that offset's max pair size.
 
@@ -168,6 +168,11 @@ def halo_exchange(x_local, part: SrcPartition, shard_id, axis_name: str,
     remap_block: optional callable ``(block, offset_index) -> block`` applied
     to each received offset block (station-frame remap for the distributed
     subgraph) before concatenation.
+    wire_dtype: optional mixed-precision collective — rows cross ICI in this
+    dtype (``jnp.bfloat16`` halves exchange bytes; the standard f32-compute/
+    bf16-comm trick) and are cast back to ``x_local.dtype`` on arrival. The
+    halo rows only feed fixed-k mean aggregations, so the bf16 rounding is
+    bounded at ~3 decimal digits per contribution (tested against dense).
     Returns (halo_total, ...) — per-offset blocks in ``part.offsets`` order
     (matching the ``local_nbr`` halo layout).
     """
@@ -175,8 +180,12 @@ def halo_exchange(x_local, part: SrcPartition, shard_id, axis_name: str,
     blocks = []
     for di, (d, si) in enumerate(zip(part.offsets, part.off_send_idx)):
         send = x_local[si[shard_id]]                   # (H_d, ...)
+        if wire_dtype is not None:
+            send = send.astype(wire_dtype)
         recv = jax.lax.ppermute(
             send, axis_name, perm=[(i, (i + d) % n) for i in range(n)])
+        if wire_dtype is not None:
+            recv = recv.astype(x_local.dtype)
         if remap_block is not None:
             recv = remap_block(recv, di)
         blocks.append(recv)
@@ -186,13 +195,16 @@ def halo_exchange(x_local, part: SrcPartition, shard_id, axis_name: str,
 
 
 def sharded_gather_mean_src_axis(x_local, part: SrcPartition, shard_id,
-                                 axis_name: str):
+                                 axis_name: str, wire_dtype=None):
     """Source-axis fixed-k mean aggregation under source partitioning.
 
     x_local: (n_local, n_sta, C) — this shard's product rows.
-    Equivalent to ``gather_mean_src_axis`` on the unsharded (sorted) tensor.
+    Equivalent to ``gather_mean_src_axis`` on the unsharded (sorted) tensor
+    (exactly with ``wire_dtype=None``; to bf16 rounding of the halo
+    contributions with ``wire_dtype=jnp.bfloat16``).
     """
-    halo = halo_exchange(x_local, part, shard_id, axis_name)
+    halo = halo_exchange(x_local, part, shard_id, axis_name,
+                         wire_dtype=wire_dtype)
     x_ext = jnp.concatenate((x_local, halo), axis=0)
     nbr = part.local_nbr[shard_id]                     # (n_local, k)
     g = x_ext[nbr]                                     # (n_local, k, n_sta, C)
@@ -306,14 +318,15 @@ def sharded_gather_mean_src_axis_subsel(x_local, part: SrcPartition,
 
 
 def sharded_src_aggregation(x_sorted, part: SrcPartition, mesh: Mesh,
-                            axis_name: str = "src"):
+                            axis_name: str = "src", wire_dtype=None):
     """Convenience wrapper: apply the sharded source-axis aggregation to a
     full (n_src_sorted, n_sta, C) tensor laid out over the mesh."""
     from jax import shard_map
 
     def f(x_local):
         sid = jax.lax.axis_index(axis_name)
-        return sharded_gather_mean_src_axis(x_local, part, sid, axis_name)
+        return sharded_gather_mean_src_axis(x_local, part, sid, axis_name,
+                                            wire_dtype=wire_dtype)
 
     fn = shard_map(f, mesh=mesh,
                    in_specs=P(axis_name, None, None),

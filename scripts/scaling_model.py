@@ -37,6 +37,65 @@ BW_HBM = 819e9          # B/s
 BW_ICI = 2 * 45e9       # B/s — 2 torus links carrying the neighbour halo
 
 
+def make_cloud(n_src, rng):
+    """Clustered source cloud (realistic seismicity, not uniform): 60 % in
+    12 Gaussian clusters, 40 % background over a 600x600x40 km region."""
+    n_bg = int(0.4 * n_src)
+    centers = rng.uniform(-250e3, 250e3, (12, 3)) * np.array([1, 1, 0.05])
+    cl = (centers[rng.integers(0, 12, n_src - n_bg)]
+          + rng.normal(0, 15e3, (n_src - n_bg, 3)) * np.array([1, 1, 0.3]))
+    bg = rng.uniform(-300e3, 300e3, (n_bg, 3)) * np.array([1, 1, 0.066])
+    return np.concatenate([cl, bg]).astype(np.float32)
+
+
+def halo_sweep(args):
+    """Measure halo rows/shard vs shard size on the real plan builder and
+    project to the pod config (~1M sources / 16 chips, n_local=65536).
+    The halo is a 2-D boundary shell of a 3-D block, so halo/n_local falls
+    like n_local^(-1/3); the fitted slope makes that measured, not assumed."""
+    import jax.numpy as jnp
+    from genie_tpu.ops.knn import knn_tiled
+    from genie_tpu.parallel.product_shard import build_partition
+
+    rng = np.random.default_rng(0)
+    pts = []
+    for n_src in args.sweep_sizes:
+        src = make_cloud(n_src, rng)
+        nbr = np.asarray(knn_tiled(jnp.asarray(src), jnp.asarray(src),
+                                   args.k_src)[0])
+        part = build_partition(src, nbr, args.n_shards)
+        n_local = n_src // args.n_shards
+        ratio = part.halo_total / n_local
+        pts.append((n_local, part.halo_total, ratio))
+        print(f"n_local {n_local:>6}: halo/shard {part.halo_total:>5} "
+              f"(ratio {ratio:.3f}, exact "
+              f"{part.halo_rows_valid // args.n_shards})", flush=True)
+    x = np.log([p[0] for p in pts])
+    y = np.log([p[2] for p in pts])
+    slope = float(np.polyfit(x, y, 1)[0])
+    n_pod = args.pod_n_src // args.n_shards
+    ratio_pod = pts[-1][2] * (n_pod / pts[-1][0]) ** slope
+    print(f"fitted slope {slope:.3f} (surface/volume predicts -0.333)")
+    print(f"projected halo ratio at pod n_local={n_pod}: {ratio_pod:.3f}")
+    eff = efficiency(int(ratio_pod * n_pod), n_pod, args)
+    eff16 = efficiency(int(ratio_pod * n_pod), n_pod, args, wire_bytes=2)
+    print(f"projected pod-scale efficiency: f32 wire {eff:.3f}, bf16 wire "
+          f"{eff16:.3f} (target >= 0.8; bf16-wire is the production "
+          f"mixed-precision collective, product_shard.halo_exchange)")
+    return eff16
+
+
+def efficiency(sent, n_local, args, wire_bytes=4):
+    C, n_sta = args.channels, args.n_sta
+    bytes_ici = 2 * sent * n_sta * C * wire_bytes
+    bytes_hbm = (2 + args.k_src + args.k_sta) * n_local * n_sta * C * 4
+    t_comm = bytes_ici / BW_ICI
+    t_hbm = bytes_hbm / BW_HBM
+    flops_mxu = 2 * n_local * n_sta * C * (n_sta + args.k_src)
+    t_compute = max(t_hbm, flops_mxu / FLOPS)
+    return t_compute / (t_compute + t_comm)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-src", type=int, default=131072)
@@ -45,22 +104,22 @@ def main():
     ap.add_argument("--channels", type=int, default=30)
     ap.add_argument("--k-src", type=int, default=15)
     ap.add_argument("--k-sta", type=int, default=8)
+    ap.add_argument("--halo-sweep", action="store_true",
+                    help="measure halo/n_local scaling + pod projection")
+    ap.add_argument("--sweep-sizes", type=int, nargs="+",
+                    default=[32768, 65536, 131072, 262144])
+    ap.add_argument("--pod-n-src", type=int, default=1048576)
     args = ap.parse_args()
 
     import jax.numpy as jnp
     from genie_tpu.ops.knn import knn_tiled
     from genie_tpu.parallel.product_shard import build_partition
 
-    rng = np.random.default_rng(0)
-    # clustered source cloud (realistic seismicity, not uniform): 60 % in
-    # 12 Gaussian clusters, 40 % background over a 600x600x40 km region
-    n_bg = int(0.4 * args.n_src)
-    centers = rng.uniform(-250e3, 250e3, (12, 3)) * np.array([1, 1, 0.05])
-    cl = (centers[rng.integers(0, 12, args.n_src - n_bg)]
-          + rng.normal(0, 15e3, (args.n_src - n_bg, 3)) * np.array([1, 1, 0.3]))
-    bg = rng.uniform(-300e3, 300e3, (n_bg, 3)) * np.array([1, 1, 0.066])
-    src = np.concatenate([cl, bg]).astype(np.float32)
+    if args.halo_sweep:
+        return halo_sweep(args)
 
+    rng = np.random.default_rng(0)
+    src = make_cloud(args.n_src, rng)
     nbr = np.asarray(knn_tiled(jnp.asarray(src), jnp.asarray(src), args.k_src)[0])
     part = build_partition(src, nbr, args.n_shards)
     n_local = args.n_src // args.n_shards

@@ -37,6 +37,29 @@ def test_sharded_aggregation_matches_dense():
     assert np.allclose(got, want, atol=1e-5)
 
 
+def test_bf16_wire_halo_close_to_dense():
+    """Mixed-precision collective: halo rows crossing the (virtual) ICI in
+    bf16 must stay within bf16 rounding of the dense f32 aggregation — the
+    halo only feeds fixed-k means, so the error is bounded per contribution."""
+    rng = np.random.default_rng(2)
+    n_src, n_sta, c = 128, 6, 5
+    src_pos = rng.uniform(-50e3, 50e3, (n_src, 3)).astype(np.float32)
+    feat = rng.normal(size=(n_src, n_sta, c)).astype(np.float32)
+    src_nbr = np.asarray(build_source_graph(src_pos, 7))
+    part = build_partition(src_pos, src_nbr, 8)
+    mesh = make_mesh(8, axis_names=("src",))
+    want = np.asarray(gather_mean_src_axis(jnp.asarray(feat),
+                                           jnp.asarray(src_nbr)))
+    perm = np.asarray(part.perm)
+    got_sorted = np.asarray(sharded_src_aggregation(
+        jnp.asarray(feat[perm]), part, mesh, wire_dtype=jnp.bfloat16))
+    got = got_sorted[np.asarray(part.inv_perm)]
+    assert got.dtype == np.float32          # compute dtype preserved
+    err = np.abs(got - want).max()
+    assert err < 2e-2, err                  # bf16 rounding of halo rows only
+    assert err > 0.0                        # bf16 actually engaged on wire
+
+
 def test_partition_halo_is_thin():
     """Morton ordering should keep the halo well below the full row count."""
     rng = np.random.default_rng(1)
