@@ -77,14 +77,21 @@ class MagnitudeModel(nn.Module):
 def fit_magnitude_model(key, sta_cart, grid_cart, src_cart, sta_idx, phase,
                         log_amp, mag_obs, k: int = 1, n_steps: int = 2000,
                         lr: float = 1e-2, w_diff: float = 0.5,
-                        max_pairs: int = 200_000):
+                        max_pairs: int = 200_000, w_bias_reg: float = 0.0):
     """Fit the model on observed (source, station, phase, amplitude,
     catalog-magnitude) tuples. Returns (model, params).
 
     The station-pair differential amplitude loss runs over explicit
     same-event/same-phase pair indices (subsampled to ``max_pairs``), so the
     fit scales to the full observation set instead of an O(n²) pair mask.
-    """
+
+    ``w_bias_reg`` penalizes the SPATIAL variation of the (grid, station,
+    phase) bias field around its per-station mean: the classic per-station
+    ML correction stays free while spatial wiggles — which memorize
+    individual training events when the catalog is small (tens of events
+    per grid node) — are damped. The reference fits unregularized on a
+    catalog orders of magnitude larger
+    (calibrate_and_apply_magnitude_scale.py:631-706)."""
     model = MagnitudeModel(n_sta=sta_cart.shape[0], n_grid=grid_cart.shape[0], k=k)
     src_np = np.asarray(src_cart)
     sta_np = np.asarray(sta_idx)
@@ -129,7 +136,11 @@ def fit_magnitude_model(key, sta_cart, grid_cart, src_cart, sta_idx, phase,
         d_pred = pred[pi] - pred[pj]
         d_obs = log_amp[pi] - log_amp[pj]
         diff = ((d_pred - d_obs) ** 2).mean()
-        return mse + w_diff * diff
+        loss = mse + w_diff * diff
+        if w_bias_reg > 0.0:
+            b = p["params"]["bias"]
+            loss = loss + w_bias_reg * ((b - b.mean(0, keepdims=True)) ** 2).mean()
+        return loss
 
     opt = optax.adam(lr)
     opt_state = opt.init(params)

@@ -46,6 +46,13 @@ def main():
                     help="drop events with fewer matched amplitude "
                          "observations (sparse events are dominated by "
                          "single misassociated picks)")
+    ap.add_argument("--n-grid", type=int, default=8,
+                    help="bias-field spatial support nodes (small: the bias "
+                         "is mostly a per-station correction; large grids "
+                         "memorize individual events on small catalogs)")
+    ap.add_argument("--bias-reg", type=float, default=3.0,
+                    help="penalty on spatial variation of the bias field "
+                         "around its per-station mean")
     ap.add_argument("--save", default=None,
                     help="persist the fitted model (pickle with params, "
                          "bias grid, k) for nc_process --mag-model")
@@ -160,7 +167,7 @@ def main():
 
     # ---- bias-support grid: coarse kmeans of observation sources ---------
     uniq = np.unique(obs_src, axis=0)
-    n_g = min(32, len(uniq))
+    n_g = min(args.n_grid, len(uniq))
     grid_cart = uniq[rng.choice(len(uniq), n_g, replace=False)].copy()
     for _ in range(10):  # plain Lloyd iterations
         d = np.linalg.norm(uniq[:, None] - grid_cart[None], axis=2)
@@ -175,7 +182,8 @@ def main():
     model, params = fit_magnitude_model(
         jax.random.PRNGKey(1), sta_cart, grid_cart,
         obs_src[fit_idx], obs_sta[fit_idx], obs_ph[fit_idx],
-        obs_amp[fit_idx], obs_mag[fit_idx], n_steps=args.steps)
+        obs_amp[fit_idx], obs_mag[fit_idx], n_steps=args.steps,
+        w_bias_reg=args.bias_reg)
 
     def invert(m):
         pred = model.apply(params, jnp.asarray(obs_src[m]), jnp.asarray(sta_cart),
@@ -216,6 +224,27 @@ def main():
             if m.any():
                 print(f"[diag] fwd resid day {day}: n={int(m.sum())} "
                       f"median={np.median(e[m]):.3f}")
+
+    if args.diag:
+        # per-event validation residuals: distinguishes "a few corrupted
+        # events" from a systematic generalization failure
+        pred = np.asarray(model.apply(
+            params, jnp.asarray(obs_src[vm]), jnp.asarray(sta_cart),
+            jnp.asarray(grid_cart), jnp.asarray(obs_sta[vm]),
+            jnp.asarray(obs_ph[vm]), log_amp=jnp.asarray(obs_amp[vm])))
+        ev2day = {}
+        for day, (lo, hi) in day_ranges.items():
+            for e in range(lo, hi):
+                ev2day[e] = day
+        rows = []
+        for e in np.unique(obs_ev[vm]):
+            em = obs_ev[vm] == e
+            r = float(np.median(pred[em]) - obs_mag[vm][em][0])
+            rows.append((abs(r), r, int(em.sum()), ev2day.get(int(e), "?"),
+                         float(obs_mag[vm][em][0])))
+        for _, r, n, day, mt_ in sorted(rows, reverse=True)[:12]:
+            print(f"[diag] vald event resid {r:+.2f} (n_obs {n}, day {day}, "
+                  f"M{mt_:.1f})")
 
     res = {}
     for name, m in (("train", tm), ("vald", vm)):
