@@ -326,6 +326,8 @@ def main():
                 pick_ph.astype(np.float32), pick_amp=pick_amp, thresh=th)
             res = score(proj, events, cat, ref_srcs, args.t_end)
             res["process_time_s"] = round(t_sweep + time.time() - t1, 1)
+            res["sweep_time_s"] = round(t_sweep, 1)   # 0 when cache-hit
+            res["post_time_s"] = round(time.time() - t1, 1)
             res["thresh"] = th
             day_res[str(th)] = res
             print(day, th, res, flush=True)

@@ -3,8 +3,12 @@
 (VERDICT item: relocation on a real produced catalog, with error reported
 vs the matched USGS events).
 
-    python scripts/nc_relocate.py --run projects/NC_EHZ/run2 --day 2017_274 \
-        --steps 3000
+    python scripts/nc_relocate.py --run projects/NC_EHZ/run2 \
+        --days 2017_274 [2017_275 ...] --steps 3000
+
+Multiple days pool into one relocation problem (the reference relocates its
+whole accumulated catalog, train_double_difference_model.py:909-957): day k
+times shift by k*86400 s so DD pairs stay well-defined across days.
 """
 
 import argparse
@@ -23,7 +27,7 @@ from nc_common import PROJECT_ROOT, load_day, load_network, nc_config, nc_projec
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", default=str(PROJECT_ROOT / "run2"))
-    ap.add_argument("--day", default="2017_274")
+    ap.add_argument("--days", nargs="+", default=["2017_274"])
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--graphs", type=int, default=12)
     ap.add_argument("--graph-size", type=int, default=24)
@@ -49,26 +53,45 @@ def main():
     sta_cart = np.asarray(proj.to_cart_np(sta_lla), np.float32)
     trv = make_trv(cfg, proj, pinn_path=PROJECT_ROOT / "Grids" / "pinn_nc.pkl")
 
-    cat_f = Path(args.run) / f"catalog_{args.day}.hdf5"
-    events = load_catalog(cat_f)
-    with h5py.File(cat_f, "r") as f:
-        pick_t = np.asarray(f["pick_t"])
-        pick_sta = np.asarray(f["pick_sta"])
+    n_sta_net = len(sta_cart)
+    events, obs_rows, msk_rows, usgs_rows = [], [], [], []
+    for k, day in enumerate(args.days):
+        cat_f = Path(args.run) / f"catalog_{day}.hdf5"
+        if not cat_f.exists():
+            print(f"[reloc] {day}: no catalog, skip", flush=True)
+            continue
+        evs = load_catalog(cat_f)
+        with h5py.File(cat_f, "r") as f:
+            pick_t = np.asarray(f["pick_t"])
+            pick_sta = np.asarray(f["pick_sta"])
+        off = k * 86400.0
+        for ev in evs:
+            o = np.zeros((n_sta_net, 2), np.float32)
+            m = np.zeros_like(o)
+            for pidx, ph in zip(ev.picks, ev.pick_phases):
+                o[pick_sta[pidx], int(ph)] = pick_t[pidx] + off
+                m[pick_sta[pidx], int(ph)] = 1.0
+            obs_rows.append(o)
+            msk_rows.append(m)
+            events.append((ev.pos_cart, ev.time + off))
+        *_, cat_d, _ = load_day(day)
+        u = np.concatenate((np.asarray(proj.to_cart_np(cat_d[:, :3])),
+                            cat_d[:, 3:4] + off), axis=1)
+        usgs_rows.append(u)
+        print(f"[reloc] {day}: {len(evs)} events", flush=True)
     S = len(events)
-    print(f"{S} catalog events from {cat_f}", flush=True)
+    usgs_all = (np.concatenate(usgs_rows) if usgs_rows
+                else np.zeros((0, 4)))
+    print(f"{S} pooled catalog events over {len(args.days)} day(s)",
+          flush=True)
     if S < 6:
         print(json.dumps({"error": "too few events to relocate"}))
         return
 
-    n_sta = len(sta_cart)
-    src_pos = np.array([ev.pos_cart for ev in events], np.float32)
-    src_time = np.array([ev.time for ev in events], np.float32)
-    obs = np.zeros((S, n_sta, 2), np.float32)
-    msk = np.zeros_like(obs)
-    for i, ev in enumerate(events):
-        for p, ph in zip(ev.picks, ev.pick_phases):
-            obs[i, pick_sta[p], int(ph)] = pick_t[p]
-            msk[i, pick_sta[p], int(ph)] = 1.0
+    src_pos = np.array([e[0] for e in events], np.float32)
+    src_time = np.array([e[1] for e in events], np.float32)
+    obs = np.stack(obs_rows)
+    msk = np.stack(msk_rows)
 
     graphs = make_relocation_graphs(
         jax.random.PRNGKey(0), jnp.asarray(src_pos), jnp.asarray(src_time),
@@ -78,9 +101,7 @@ def main():
     if args.use_reference:
         from genie_tpu.infer.assign import maximize_bipartite_assignment
         from genie_tpu.relocation.graphdd import attach_reference
-        *_, cat_m, _ = load_day(args.day)
-        usgs_c = np.concatenate((np.asarray(proj.to_cart_np(cat_m[:, :3])),
-                                 cat_m[:, 3:4]), axis=1)
+        usgs_c = usgs_all
         det_m = np.concatenate((src_pos, src_time[:, None]), axis=1)
         ia, ib = maximize_bipartite_assignment(det_m, usgs_c,
                                                sig_x=25e3, sig_t=15.0)
@@ -112,9 +133,7 @@ def main():
           flush=True)
 
     # score against matched USGS events, before vs after
-    *_, cat, _ = load_day(args.day)
-    cat_c = np.concatenate((np.asarray(proj.to_cart_np(cat[:, :3])),
-                            cat[:, 3:4]), axis=1)
+    cat_c = usgs_all
     det0 = np.concatenate((src_pos, src_time[:, None]), axis=1)
     s0 = matched_catalog_stats(det0, cat_c, sig_x=25e3, sig_t=15.0)
     s1 = matched_catalog_stats(reloc, cat_c, sig_x=25e3, sig_t=15.0)
@@ -125,9 +144,10 @@ def main():
         "initial_matched": int(s0["n_matched"]),
         "relocated_matched": int(s1["n_matched"]),
     }
-    np.savez(Path(args.run) / f"relocated_{args.day}.npz",
+    tag = args.days[0] if len(args.days) == 1 else f"{args.days[0]}_{args.days[-1]}"
+    np.savez(Path(args.run) / f"relocated_{tag}.npz",
              src_init=det0, src_reloc=reloc)
-    (Path(args.run) / f"relocated_{args.day}.json").write_text(
+    (Path(args.run) / f"relocated_{tag}.json").write_text(
         json.dumps(out, indent=1))
     print(json.dumps(out), flush=True)
 
