@@ -1,0 +1,89 @@
+"""Natural-neighbor (Sibson) interpolation on scattered 3-D fields.
+
+The reference's ``NNInterp`` (process_utils.py:1543-1629) estimates, for
+each query point, the Voronoi volume the query would steal from each
+reference node if inserted: it samples a local cube grid around the query,
+keeps the sample points that lie nearer to the query than to any reference
+node (the would-be cell of the query), and weights each reference node by
+how many of those stolen points it currently owns. Its chain of torch
+scatters reduces to a single statement — the interpolant is the MEAN of
+``vals[nearest_ref_node]`` over the stolen sample points — which is what
+this jittable implementation computes directly (one kNN over static-shape
+sample offsets; no host round-trips, MXU-friendly distance matmuls).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from genie_tpu.ops.knn import pairwise_sq_dist
+
+
+def _nearest(ref_pos, pts):
+    """Nearest reference node per point: (idx (n,), dist (n,))."""
+    d2 = pairwise_sq_dist(pts, ref_pos)
+    idx = jnp.argmin(d2, axis=1)
+    return idx.astype(jnp.int32), jnp.sqrt(jnp.take_along_axis(
+        d2, idx[:, None], axis=1)[:, 0])
+
+
+def make_offset_cube(n_res: int, dx: float):
+    """(n_res³, 3) cube of sample offsets centred on the query."""
+    x1 = np.linspace(0.0, n_res * dx, n_res) - n_res * dx / 2.0
+    a, b, c = np.meshgrid(x1, x1, x1, indexing="ij")
+    return np.stack((a.reshape(-1), b.reshape(-1), c.reshape(-1)), axis=1)
+
+
+def default_dx(ref_pos, n_res: int = 11, sample: int = 1000, seed: int = 0):
+    """The reference's heuristic sample spacing (process_utils.py:1566-1568):
+    80th percentile of the mean 4-NN distance over a random node subset,
+    divided by ``n_res``."""
+    ref = np.asarray(ref_pos)
+    rng = np.random.default_rng(seed)
+    q = ref[rng.integers(0, len(ref), min(sample, len(ref)))]
+    d2 = np.asarray(pairwise_sq_dist(jnp.asarray(q, jnp.float32),
+                                     jnp.asarray(ref, jnp.float32)))
+    k = min(5, d2.shape[1])
+    d = np.sqrt(np.sort(d2, axis=1)[:, 1:k])  # drop self/zero column
+    if d.shape[1] == 0:
+        d = np.sqrt(np.sort(d2, axis=1)[:, :1])
+    return float(np.quantile(d.mean(1), 0.8) / n_res)
+
+
+def natural_neighbor_interp(ref_pos, vals, x_query, n_res: int = 11,
+                            dx: float | None = None):
+    """Sibson-weighted interpolation of ``vals`` (n_ref,) or (n_ref, C)
+    defined on ``ref_pos`` (n_ref, 3), evaluated at ``x_query`` (n_q, 3).
+
+    Returns (n_q,) or (n_q, C). Queries whose sampled cell steals no points
+    (far outside the node cloud at this ``dx``) fall back to the nearest
+    node's value — the natural limit of the estimator.
+    """
+    ref_pos = jnp.asarray(ref_pos, jnp.float32)
+    vals = jnp.asarray(vals)
+    squeeze = vals.ndim == 1
+    if squeeze:
+        vals = vals[:, None]
+    x_query = jnp.asarray(x_query, jnp.float32)
+    if dx is None:
+        dx = default_dx(ref_pos, n_res)
+    xx = jnp.asarray(make_offset_cube(n_res, dx), jnp.float32)  # (G, 3)
+    n_q, G = x_query.shape[0], xx.shape[0]
+
+    pts = (x_query[:, None, :] + xx[None]).reshape(n_q * G, 3)
+    nearest, d_ref = _nearest(ref_pos, pts)       # nearest reference node
+    nearest = nearest.reshape(n_q, G)
+    d_ref = d_ref.reshape(n_q, G)
+    d_center = jnp.linalg.norm(xx, axis=1)[None]  # distance to query centre
+
+    stolen = d_center <= d_ref                    # would-be cell of the query
+    v = vals[nearest]                             # (n_q, G, C)
+    w = stolen[..., None].astype(v.dtype)
+    est = (v * w).sum(1) / jnp.maximum(w.sum(1), 1e-12)
+
+    # fallback: nearest node's value when nothing is stolen
+    nn_q, _ = _nearest(ref_pos, x_query)
+    fb = vals[nn_q]
+    out = jnp.where(stolen.any(1)[:, None], est, fb)
+    return out[:, 0] if squeeze else out

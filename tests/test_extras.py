@@ -130,3 +130,58 @@ def test_plot_catalog_day(tmp_path):
                          det_mags=rng.uniform(1, 4, 12),
                          usgs_mags=rng.uniform(1, 4, 8), title="test day")
     assert p.exists() and p.stat().st_size > 10_000
+
+
+def test_gp_minimize_beats_random_search():
+    """Native GP-EI minimizer (ref's disabled skopt flow, train_GENIE_model
+    .py:1943-1951): on a smooth 4-d bowl with a shifted optimum it must land
+    clearly closer to the minimum than the pure random half of its budget."""
+    import numpy as np
+    from genie_tpu.train.bayes_opt import gp_minimize
+
+    opt = np.array([0.3, -0.6, 0.1, 0.8])
+
+    def f(x):
+        return float(((x - opt) ** 2).sum() + 0.3 * np.sin(3 * x).sum())
+
+    bounds = [(-2.0, 2.0)] * 4
+    x_best, y_best, X, Y = gp_minimize(f, bounds, n_calls=40,
+                                       n_random_starts=12, seed=3)
+    y_random = min(Y[:12])
+    assert y_best < y_random - 1e-6       # the GP phase found better points
+    assert y_best < 0.5 * y_random        # and not marginally
+
+
+def test_pick_statistics_separate_clustered_from_uniform():
+    """The sample_picks targets must distinguish spatio-temporally clustered
+    picks (event-like) from uniform noise, and event-like synthetic stats
+    must sit closer to event-like targets."""
+    import numpy as np
+    from genie_tpu.train.bayes_opt import pick_statistics, stats_residual
+
+    rng = np.random.default_rng(0)
+    n_sta = 24
+    sta = rng.uniform(0, 200e3, (n_sta, 3))
+
+    def clustered(seed):
+        r = np.random.default_rng(seed)
+        t, s = [], []
+        for _ in range(40):                 # events: bursts on NEARBY stations
+            t0 = r.uniform(0, 10000)
+            root = r.integers(0, n_sta)
+            d = np.linalg.norm(sta[:, :2] - sta[root, :2], axis=1)
+            near = np.argsort(d)[:8]
+            for j in near:
+                t.append(t0 + r.uniform(0, 30))
+                s.append(j)
+        return np.asarray(t), np.asarray(s)
+
+    def uniform(seed):
+        r = np.random.default_rng(seed)
+        n = 320
+        return r.uniform(0, 10000, n), r.integers(0, n_sta, n)
+
+    tc = pick_statistics(*clustered(1), sta, seed=1)
+    tu = pick_statistics(*uniform(1), sta, seed=1)
+    probe = pick_statistics(*clustered(2), sta, seed=2)
+    assert stats_residual(probe, [tc]) < stats_residual(probe, [tu])

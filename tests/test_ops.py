@@ -187,3 +187,48 @@ def test_matmul_aggregation_matches_gather():
     got = np.asarray(matmul_mean_src_axis(jnp.asarray(feat), a_src))
     want = np.asarray(gather_mean_src_axis(jnp.asarray(feat), jnp.asarray(src_nbr)))
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_natural_neighbor_interp_properties():
+    """NNInterp parity (ref process_utils.py:1543-1629): Sibson-style
+    volume-stealing interpolation — exact on constants, node-value
+    reproducing at the nodes, symmetric-average midway between two nodes,
+    and close to linear fields on a regular cloud."""
+    import numpy as np
+    import jax.numpy as jnp
+    from genie_tpu.ops.interp import natural_neighbor_interp
+
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(0, 100.0, (200, 3)).astype(np.float32)
+
+    # constant field -> exact constant everywhere
+    q = rng.uniform(10, 90, (20, 3)).astype(np.float32)
+    out = np.asarray(natural_neighbor_interp(ref, np.full(200, 3.5), q))
+    assert np.allclose(out, 3.5, atol=1e-5)
+
+    # query exactly at a node -> that node's value dominates
+    vals = rng.normal(size=200).astype(np.float32)
+    out = np.asarray(natural_neighbor_interp(ref, vals, ref[:5], n_res=9))
+    assert np.abs(out - vals[:5]).max() < 0.45 * np.abs(vals).max()
+
+    # two isolated nodes, query midway -> average (symmetry)
+    ref2 = np.array([[0, 0, 0], [10, 0, 0]], np.float32)
+    v2 = np.array([1.0, 3.0], np.float32)
+    mid = np.array([[5.0, 0, 0]], np.float32)
+    out = float(natural_neighbor_interp(ref2, v2, mid, n_res=11, dx=1.0)[0])
+    assert abs(out - 2.0) < 0.2
+
+    # linear field on a jittered grid -> small relative error
+    g = np.stack(np.meshgrid(*[np.linspace(0, 60, 7)] * 3,
+                             indexing="ij"), -1).reshape(-1, 3)
+    g = (g + rng.normal(0, 1.0, g.shape)).astype(np.float32)
+    lin = (0.3 * g[:, 0] - 0.2 * g[:, 1] + 0.1 * g[:, 2]).astype(np.float32)
+    q = rng.uniform(15, 45, (30, 3)).astype(np.float32)
+    want = 0.3 * q[:, 0] - 0.2 * q[:, 1] + 0.1 * q[:, 2]
+    out = np.asarray(natural_neighbor_interp(g, lin, q))
+    assert np.abs(out - want).max() < 1.5
+
+    # matrix-valued field keeps trailing channels
+    vals_c = rng.normal(size=(200, 4)).astype(np.float32)
+    out = np.asarray(natural_neighbor_interp(ref, vals_c, q[:4]))
+    assert out.shape == (4, 4)
