@@ -225,6 +225,9 @@ def main():
                          "sweep pass; post-processing runs later from cache)")
     ap.add_argument("--save-catalog", action="store_true",
                     help="save per-day catalog hdf5 into the run dir")
+    ap.add_argument("--window-batch", type=int, default=16,
+                    help="windows per sweep dispatch (changes the sweep "
+                         "checkpoint fingerprint)")
     ap.add_argument("--catalog-thresh", type=float, default=None,
                     help="threshold whose events become the saved catalog "
                          "(default: the LAST of --thresh; a trailing 0.5 "
@@ -303,6 +306,7 @@ def main():
             times_s, series = pipe.detection_sweep(
                 pick_t.astype(np.float32), pick_sta, pick_ph.astype(np.float32),
                 0.0, args.t_end, grids=sweep_grids,
+                window_batch=args.window_batch,
                 checkpoint_path=cache_f.with_suffix(".partial.npz"))
             if args.cache_sweep:
                 np.savez_compressed(cache_f, times_s=times_s,
