@@ -38,6 +38,12 @@ def main():
                     help="slice length (s); 4000 s = 25 window batches")
     ap.add_argument("--min-prob", type=float, default=0.3)
     ap.add_argument("--n-query", type=int, default=10000)
+    ap.add_argument("--quick", action="store_true",
+                    help="only the production config (matmul bf16 1-grid) "
+                         "at window_batch 16/32/64")
+    ap.add_argument("--profile", default=None,
+                    help="capture a jax.profiler trace of the production "
+                         "config sweep into this directory")
     args = ap.parse_args()
 
     import pickle
@@ -84,6 +90,31 @@ def main():
         return series
 
     all_grids = list(range(ctx.grids_cart.shape[0]))
+    if args.profile:
+        # trace the production config: compile outside, trace ~6 batches
+        import jax
+        from genie_tpu.models.detector import Detector as _D
+        model = Detector(
+            src_chunk=16, normalize_readin=cfg.model.normalize_readin,
+            via_matmul=True, scale_rel=cfg.model.scale_rel,
+            kernel_sig_t=cfg.model.kernel_sig_t,
+            use_phase_types=cfg.model.use_phase_types,
+            use_absolute_pos=cfg.model.use_absolute_pos,
+            use_updated_model_definition=cfg.model.use_updated_model_definition)
+        pipe = InferencePipeline(model, params, cfg, ctx, trv.from_cart,
+                                 verbose=False, sweep_half=True)
+        pipe.set_station_mask(sta_ind)
+        pipe.detection_sweep(pick_t, pick_sta, pick_ph, 0.0, 400.0, grids=[0])
+        with jax.profiler.trace(args.profile):
+            pipe.detection_sweep(pick_t, pick_sta, pick_ph, 1000.0, 2000.0,
+                                 grids=[0])
+        print(f"trace written to {args.profile}", flush=True)
+        return
+    if args.quick:
+        ref = one("matmul bf16 1-grid wb16 (production)", True, True, [0], 16)
+        for wb in (32, 64):
+            s = one(f"matmul bf16 1-grid wb{wb}", True, True, [0], wb)
+        return
     ref = one("matmul f32 all-grids (campaign r2 cfg)", True, False, all_grids)
     for label, vm, hf, gr, wb in [
             ("matmul bf16 all-grids (--half)", True, True, all_grids, 16),
