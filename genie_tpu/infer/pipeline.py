@@ -794,15 +794,19 @@ class InferencePipeline:
                            pick_amp=None, thresh=None):
         """Stages 2-7 given a precomputed (possibly cached) sweep series —
         the shared entry point for process() and re-scoring scripts."""
+        t_st = time.time()
         cands, vals = self.extract_candidates(times_s, series, thresh=thresh)
         srcs, svals = self.cluster_candidates(cands, vals)
         if self.verbose:
-            print(f"[pipeline] {len(cands)} peaks -> {len(srcs)} clustered",
-                  flush=True)
+            print(f"[pipeline] {len(cands)} peaks -> {len(srcs)} clustered "
+                  f"({time.time() - t_st:.0f}s)", flush=True)
         if len(srcs) == 0:
             return []
+        t_st = time.time()
         srcs, svals = self.refine_sources(pick_t, pick_sta, pick_phase,
                                           srcs, svals)
+        t_refine = time.time() - t_st
+        t_st = time.time()
         # association windows are t_win-scale: process candidate sources in
         # disjoint time groups (ref break_win grouping, :851-890), further
         # chunked so each group spans ≤ t_win (the trained query-time range)
@@ -819,11 +823,19 @@ class InferencePipeline:
                     np.concatenate((srcs[sub, :3], srcs[sub, 3:4]), axis=1),
                     vals=svals[sub]))
                 start += len(sub)
+        t_assoc = time.time() - t_st
         if self.verbose:
-            print(f"[pipeline] {len(events)} associated", flush=True)
+            print(f"[pipeline] {len(events)} associated "
+                  f"(refine {t_refine:.0f}s, assoc {t_assoc:.0f}s)",
+                  flush=True)
+        t_st = time.time()
         located = self.locate(events, pick_t, pick_sta)
         deduped = self.dedup(located)
-        return self.assign_magnitudes(deduped, pick_sta, pick_amp)
+        out = self.assign_magnitudes(deduped, pick_sta, pick_amp)
+        if self.verbose:
+            print(f"[pipeline] located+qc {len(out)} events "
+                  f"({time.time() - t_st:.0f}s)", flush=True)
+        return out
 
     def dedup(self, events):
         """Final duplicate merge — the reference's second LocalMarching pass
