@@ -687,11 +687,15 @@ class InferencePipeline:
             for L, js in sorted(buckets.items()):
                 for s in range(0, len(js), max_batch):
                     js_s = js[s:s + max_batch]
-                    N = len(js_s)
+                    # pad the event axis to a fixed level too: otherwise every
+                    # (n_events, L) shape pair is a fresh XLA compile — the
+                    # dominant cost of the locate stage across thresholds/days
+                    N = self._pad_level(len(js_s),
+                                        levels=(4, 8, 16, 32, 64, 128, 256))
                     tp = np.zeros((N, L), np.float32)
                     ip = np.zeros((N, L), np.int32)
                     ph = np.zeros((N, L, 1), np.float32)
-                    mk = np.zeros((N, L), bool)
+                    mk = np.zeros((N, L), bool)  # padding rows stay all-masked
                     for r, j in enumerate(js_s):
                         ev, n = evs[j], len(evs[j].picks)
                         tp[r, :n] = pick_t[ev.picks] - ev.time
