@@ -10,8 +10,14 @@ from pathlib import Path
 
 
 def main():
+    json_out = None
+    args = sys.argv[1:]
+    if "--json-out" in args:
+        i = args.index("--json-out")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     rows = []
-    for f in sys.argv[1:]:
+    for f in args:
         data = json.loads(Path(f).read_text())
         for day, per_th in data.items():
             for th, r in sorted(per_th.items(), key=lambda kv: float(kv[0])):
@@ -48,6 +54,21 @@ def main():
                 b[0] += round(r[k] * r[nk])
                 b[1] += r[nk]
     days_n = len({day for day, _, _ in rows})
+    if json_out:
+        pooled = {}
+        for th, a in sorted(by_th.items()):
+            pooled[str(th)] = {
+                "n_usgs": a["n"], "n_matched": a["m"],
+                "rate": round(a["m"] / max(a["n"], 1), 4),
+                "ref_matched": a["rm"],
+                "ref_rate": round(a["rm"] / max(a["rn"], 1), 4),
+                "per_mag": {f"M>={mb}": {"matched": b[0], "total": b[1],
+                                         "rate": round(b[0] / max(b[1], 1), 4)}
+                            for mb, b in a["bins"].items()},
+            }
+        Path(json_out).write_text(json.dumps(
+            {"days": sorted({day for day, _, _ in rows}),
+             "n_days": days_n, "pooled": pooled}, indent=1))
     if days_n > 1:
         print(f"\n### Pooled over {days_n} days")
         print("| thresh | det rate (all M>1) | ref GENIE rate | "
