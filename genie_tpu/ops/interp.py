@@ -52,13 +52,16 @@ def default_dx(ref_pos, n_res: int = 11, sample: int = 1000, seed: int = 0):
 
 
 def natural_neighbor_interp(ref_pos, vals, x_query, n_res: int = 11,
-                            dx: float | None = None):
+                            dx: float | None = None,
+                            query_chunk: int = 512):
     """Sibson-weighted interpolation of ``vals`` (n_ref,) or (n_ref, C)
     defined on ``ref_pos`` (n_ref, 3), evaluated at ``x_query`` (n_q, 3).
 
     Returns (n_q,) or (n_q, C). Queries whose sampled cell steals no points
     (far outside the node cloud at this ``dx``) fall back to the nearest
-    node's value — the natural limit of the estimator.
+    node's value — the natural limit of the estimator. Queries are processed
+    in chunks of ``query_chunk`` so the (chunk·n_res³, n_ref) distance
+    matrix stays bounded regardless of n_q.
     """
     ref_pos = jnp.asarray(ref_pos, jnp.float32)
     vals = jnp.asarray(vals)
@@ -69,21 +72,24 @@ def natural_neighbor_interp(ref_pos, vals, x_query, n_res: int = 11,
     if dx is None:
         dx = default_dx(ref_pos, n_res)
     xx = jnp.asarray(make_offset_cube(n_res, dx), jnp.float32)  # (G, 3)
-    n_q, G = x_query.shape[0], xx.shape[0]
-
-    pts = (x_query[:, None, :] + xx[None]).reshape(n_q * G, 3)
-    nearest, d_ref = _nearest(ref_pos, pts)       # nearest reference node
-    nearest = nearest.reshape(n_q, G)
-    d_ref = d_ref.reshape(n_q, G)
+    G = xx.shape[0]
     d_center = jnp.linalg.norm(xx, axis=1)[None]  # distance to query centre
 
-    stolen = d_center <= d_ref                    # would-be cell of the query
-    v = vals[nearest]                             # (n_q, G, C)
-    w = stolen[..., None].astype(v.dtype)
-    est = (v * w).sum(1) / jnp.maximum(w.sum(1), 1e-12)
+    def chunk(xq):
+        nq = xq.shape[0]
+        pts = (xq[:, None, :] + xx[None]).reshape(nq * G, 3)
+        nearest, d_ref = _nearest(ref_pos, pts)   # nearest reference node
+        nearest = nearest.reshape(nq, G)
+        d_ref = d_ref.reshape(nq, G)
+        stolen = d_center <= d_ref                # would-be cell of the query
+        v = vals[nearest]                         # (nq, G, C)
+        w = stolen[..., None].astype(v.dtype)
+        est = (v * w).sum(1) / jnp.maximum(w.sum(1), 1e-12)
+        # fallback: nearest node's value when nothing is stolen
+        nn_q, _ = _nearest(ref_pos, xq)
+        return jnp.where(stolen.any(1)[:, None], est, vals[nn_q])
 
-    # fallback: nearest node's value when nothing is stolen
-    nn_q, _ = _nearest(ref_pos, x_query)
-    fb = vals[nn_q]
-    out = jnp.where(stolen.any(1)[:, None], est, fb)
+    outs = [chunk(x_query[s:s + query_chunk])
+            for s in range(0, x_query.shape[0], query_chunk)]
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return out[:, 0] if squeeze else out
