@@ -82,7 +82,8 @@ def _effective(weights, ipick, act, cost, min_weight):
     return t - cost * eff.sum(), a, eff
 
 
-def _exact_enumeration(weights, ipick, cost, min_weight, work_budget=2e6):
+def _exact_enumeration(weights, ipick, cost, min_weight, work_budget=2e6,
+                       restrict=None):
     """Provably optimal activation by subset enumeration, made cheap twice
     over: (a) candidate sources decompose into independent connected
     components (two sources interact only through a station that scores
@@ -128,6 +129,16 @@ def _exact_enumeration(weights, ipick, cost, min_weight, work_budget=2e6):
         ids = [i for i in range(k) if rel >> i & 1]
         for i in ids[1:]:
             parent[find(i)] = find(ids[0])
+    # restrict pairs couple their sources: merge their components so the
+    # mutual-exclusion constraint is enforced inside one enumeration
+    restrict_local = []
+    if restrict:
+        for qa, qb in restrict:
+            ia, ib = pos_of.get(int(qa)), pos_of.get(int(qb))
+            if ia is None or ib is None:
+                continue  # a non-candidate source is never active anyway
+            restrict_local.append((ia, ib))
+            parent[find(ia)] = find(ib)
     comp_masks = {}
     for i in range(k):
         r = find(i)
@@ -169,6 +180,8 @@ def _exact_enumeration(weights, ipick, cost, min_weight, work_budget=2e6):
             memo[sub_bits] = (t, a, used)
             return memo[sub_bits]
 
+        pair_masks = [(1 << ia) | (1 << ib) for ia, ib in restrict_local
+                      if cm >> ia & 1]  # pairs living in this component
         best_obj, best_parts, best_used = 0.0, None, 0
         kc = len(comp_bits)
         for local in range(1, 1 << kc):
@@ -176,6 +189,8 @@ def _exact_enumeration(weights, ipick, cost, min_weight, work_budget=2e6):
             for j, i in enumerate(comp_bits):
                 if local >> j & 1:
                     bits |= 1 << i
+            if any((bits & pm) == pm for pm in pair_masks):
+                continue  # violates a mutual-exclusion (restrict) pair
             total, union_used = 0.0, 0
             parts = []
             for j in range(len(sta_ids)):
@@ -199,12 +214,18 @@ def _exact_enumeration(weights, ipick, cost, min_weight, work_budget=2e6):
 
 def competitive_assignment(weights, ipick, cost, min_weight: float = 0.0,
                            force_n_sources: int | None = None,
-                           exact_max_sources: int = 15):
+                           exact_max_sources: int = 15, restrict=None):
     """Solve the activation + assignment problem.
 
     weights: (n_arv, n_src, 2) association scores (thresholded upstream);
     ipick: (n_arv,) station of each arrival; cost: activation penalty per
     source (ref `cost`); returns (assign (n_arv, 2), active (n_src,) bool).
+
+    restrict: optional list of (qa, qb) source-index pairs of which at most
+    one may be active (the reference's optional constraint 1,
+    process_utils.py:970-986 — spatio-temporal separation of duplicates).
+    Enforced exactly in the enumeration path (restrict-linked components
+    are merged) and by partner-deactivation in the flip heuristic.
 
     Exact (memoized subset enumeration) for n_src ≤ exact_max_sources —
     which now matches the max_sources_per_component split bound, so every
@@ -217,7 +238,8 @@ def competitive_assignment(weights, ipick, cost, min_weight: float = 0.0,
         return -np.ones((n_arv, 2), np.int64), np.zeros(n_src, bool)
 
     if force_n_sources is None and n_src <= exact_max_sources:
-        res = _exact_enumeration(weights, ipick, cost, min_weight)
+        res = _exact_enumeration(weights, ipick, cost, min_weight,
+                                 restrict=restrict)
         if res is not None:
             return res
         # over the enumeration work budget: fall through to the heuristic
@@ -234,6 +256,12 @@ def competitive_assignment(weights, ipick, cost, min_weight: float = 0.0,
                 continue
             cand = active.copy()
             cand[q] = ~cand[q]
+            if restrict and cand[q]:
+                for qa, qb in restrict:  # keep feasibility: drop partners
+                    if qa == q and cand[qb]:
+                        cand[qb] = False
+                    elif qb == q and cand[qa]:
+                        cand[qa] = False
             obj, a, eff = _effective(weights, ipick, cand, cost, min_weight)
             if obj > best_obj + 1e-9:
                 best_obj, best_assign, best_act = obj, a, eff

@@ -400,3 +400,35 @@ def test_pso_hull_reinit_and_depth_search():
         lo4, hi4, popsize=128, n_iter=150, hull_points=sta)
     assert np.linalg.norm(np.asarray(pos)[:2] - true_pos[:2]) < 5e3
     assert abs(float(t0) - 2.0) < 1.0
+
+
+def test_competitive_assignment_restrict_pairs():
+    """restrict (ref process_utils.py:970-986): of each listed source pair
+    at most one may be active; the exact path must pick the better member
+    and re-route arrivals, and stays optimal among feasible subsets."""
+    import numpy as np
+    from genie_tpu.infer.assign import competitive_assignment
+
+    n_arv, n_src = 12, 3
+    ipick = np.arange(n_arv)  # one arrival per station: duplicates compete
+    w = np.zeros((n_arv, n_src, 2), np.float32)
+    # sources 0 and 1 both explain arrivals 0-5 (duplicates, 0 stronger);
+    # source 2 explains arrivals 6-11
+    w[:6, 0, 0] = 0.9
+    w[:6, 1, 0] = 0.8
+    w[6:, 2, 0] = 0.7
+    a_free, act_free = competitive_assignment(w, ipick, cost=0.5)
+    assert act_free[0] and act_free[2] and not act_free[1]
+
+    # forbidding {0, 2} together: the optimum re-routes arrivals 0-5 to the
+    # weaker duplicate 1 ({1,2} = 8.0 beats {0} = 4.9 and {2} = 3.7)
+    a_r, act_r = competitive_assignment(w, ipick, cost=0.5,
+                                        restrict=[(0, 2)])
+    assert not (act_r[0] and act_r[2])         # constraint honoured
+    assert act_r[1] and act_r[2] and not act_r[0]
+    assert (a_r[:6, 0] == 1).all() and (a_r[6:, 0] == 2).all()
+
+    # restricting the duplicate pair picks the stronger duplicate
+    a_d, act_d = competitive_assignment(w, ipick, cost=0.5,
+                                        restrict=[(0, 1)])
+    assert act_d[0] and not act_d[1] and act_d[2]
