@@ -2,7 +2,8 @@
 # Re-score campaign days from their CACHED sweeps with one consistent code
 # state: thresholds 0.2/0.25/0.35, catalogs saved at 0.25 (for the pooled
 # calibration / magnitude / GraphDD passes). Cheap per day — the sweep is
-# the expensive stage and it is cache-hit here. Same stall watchdog as
+# the expensive stage and it is cache-hit here (0.35 rows already exist
+# from the campaign JSONs). Same stall watchdog as
 # nc_days_campaign.sh (the tunnel can wedge at client init).
 #
 #   scripts/nc_rescore_days.sh <run_dir> <n_grids> <day>...
@@ -23,7 +24,7 @@ for day in "$@"; do
   rc=1
   for attempt in 1 2 3; do
     python -u "$R/scripts/nc_process.py" --run "$R/$RUN" --days "$day" \
-      --thresh 0.2 0.25 0.35 --n-grids "$NG" --half \
+      --thresh 0.2 0.25 --n-grids "$NG" --half \
       --cache-sweep --save-catalog --catalog-thresh 0.25 --json-out "$out" \
       >> "$log" 2>&1 &
     PID=$!
