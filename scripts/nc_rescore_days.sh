@@ -24,7 +24,7 @@ for day in "$@"; do
   rc=1
   for attempt in 1 2 3; do
     python -u "$R/scripts/nc_process.py" --run "$R/$RUN" --days "$day" \
-      --thresh 0.2 0.25 --n-grids "$NG" --half \
+      --thresh ${RESCORE_THRESH:-0.2 0.25} --n-grids "$NG" --half \
       --cache-sweep --save-catalog --catalog-thresh 0.25 --json-out "$out" \
       >> "$log" 2>&1 &
     PID=$!
