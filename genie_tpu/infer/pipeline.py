@@ -794,13 +794,40 @@ class InferencePipeline:
         return self.process_from_sweep(times_s, series, pick_t, pick_sta,
                                        pick_phase, pick_amp=pick_amp)
 
+    def _ledger(self, stage, arr4, trace, sig_x=25e3, sig_t=15.0):
+        """Stage-by-stage audit of target events (diagnosis instrumentation):
+        for each (x, y, z, t) target, report whether any pipeline candidate
+        is within the matcher's (sig_x, sig_t) ball — the same tolerance the
+        eval uses — so a lost detection names the stage that dropped it."""
+        if trace is None:
+            return
+        arr4 = np.asarray(arr4).reshape(-1, 4)
+        miss = []
+        for j, tg in enumerate(trace):
+            if len(arr4):
+                d = np.linalg.norm(arr4[:, :2] - tg[None, :2], axis=1)
+                dt = np.abs(arr4[:, 3] - tg[3])
+                hit = bool(np.any((d < sig_x) & (dt < sig_t)))
+            else:
+                hit = False
+            if not hit:
+                miss.append(j)
+        print(f"[ledger] {stage:10s}: {len(trace) - len(miss)}/{len(trace)} "
+              f"targets covered; missing {miss}", flush=True)
+
     def process_from_sweep(self, times_s, series, pick_t, pick_sta, pick_phase,
-                           pick_amp=None, thresh=None):
+                           pick_amp=None, thresh=None, trace=None):
         """Stages 2-7 given a precomputed (possibly cached) sweep series —
-        the shared entry point for process() and re-scoring scripts."""
+        the shared entry point for process() and re-scoring scripts.
+
+        ``trace``: optional (n, 4) Cartesian+time target events (e.g. the
+        day's USGS catalog) audited through every stage via :meth:`_ledger`.
+        """
         t_st = time.time()
         cands, vals = self.extract_candidates(times_s, series, thresh=thresh)
+        self._ledger("peaks", cands, trace)
         srcs, svals = self.cluster_candidates(cands, vals)
+        self._ledger("cluster", srcs, trace)
         if self.verbose:
             print(f"[pipeline] {len(cands)} peaks -> {len(srcs)} clustered "
                   f"({time.time() - t_st:.0f}s)", flush=True)
@@ -809,6 +836,7 @@ class InferencePipeline:
         t_st = time.time()
         srcs, svals = self.refine_sources(pick_t, pick_sta, pick_phase,
                                           srcs, svals)
+        self._ledger("refine", srcs, trace)
         t_refine = time.time() - t_st
         t_st = time.time()
         # association windows are t_win-scale: process candidate sources in
@@ -832,9 +860,24 @@ class InferencePipeline:
             print(f"[pipeline] {len(events)} associated "
                   f"(refine {t_refine:.0f}s, assoc {t_assoc:.0f}s)",
                   flush=True)
+        if trace is not None:
+            ev4 = np.array([[*ev.pos_cart, ev.time] for ev in events])
+            self._ledger("associate", ev4, trace)
+            npick = np.array([len(ev.picks) for ev in events], int)
+            nsta = np.array([len(np.unique(pick_sta[ev.picks]))
+                             for ev in events], int)
+            elig = ((npick >= self.cfg.process.min_required_picks)
+                    & (nsta >= self.cfg.process.min_required_sta))
+            self._ledger("eligible", ev4[elig] if elig.any() else ev4[:0], trace)
         t_st = time.time()
         located = self.locate(events, pick_t, pick_sta)
+        if trace is not None:
+            self._ledger("locate+qc", np.array(
+                [[*ev.pos_cart, ev.time] for ev in located]), trace)
         deduped = self.dedup(located)
+        if trace is not None:
+            self._ledger("dedup", np.array(
+                [[*ev.pos_cart, ev.time] for ev in deduped]), trace)
         out = self.assign_magnitudes(deduped, pick_sta, pick_amp)
         if self.verbose:
             print(f"[pipeline] located+qc {len(out)} events "

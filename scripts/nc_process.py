@@ -135,6 +135,21 @@ def score(proj, events, cat, ref_srcs, t_end, sig_x=25e3, sig_t=15.0):
         "ref_n_matched": int(ref_stats["n_matched"]),
         "ref_detection_rate": round(float(ref_stats["detection_rate"]), 3),
     }
+    # per-matched-event residuals (VERDICT r4 weak #8: mean-only evals made
+    # outlier days illegible) + robust summaries
+    from genie_tpu.infer.assign import maximize_bipartite_assignment as _mba
+    ia, ib = _mba(det_c, cat_c, sig_x=sig_x, sig_t=sig_t)
+    if len(ia):
+        epi = np.linalg.norm(det_c[ia, :2] - cat_c[ib, :2], axis=1)
+        dts = det_c[ia, 3] - cat_c[ib, 3]
+        out["per_event"] = [
+            {"usgs_t": round(float(cat_keep[b, 3]), 1),
+             "mag": round(float(cat_keep[b, 4]), 2),
+             "epi_m": round(float(e), 1), "dt_s": round(float(d), 2)}
+            for b, e, d in zip(ib, epi, dts)]
+        out["epi_err_median_m"] = round(float(np.median(epi)), 1)
+        out["epi_err_p90_m"] = round(float(np.percentile(epi, 90)), 1)
+        out["t_err_median_s"] = round(float(np.median(np.abs(dts))), 2)
     # per-magnitude-bin detection rates + bin counts (ref apply_calibration_
     # routines.py:317-336); counts let multi-day summaries pool exactly
     for m in (1.0, 2.0, 3.0, 4.0):
@@ -228,6 +243,9 @@ def main():
     ap.add_argument("--window-batch", type=int, default=16,
                     help="windows per sweep dispatch (changes the sweep "
                          "checkpoint fingerprint)")
+    ap.add_argument("--trace-usgs", action="store_true",
+                    help="audit the day's USGS events through every post "
+                         "stage (per-stage coverage ledger; diagnosis)")
     ap.add_argument("--catalog-thresh", type=float, default=None,
                     help="threshold whose events become the saved catalog "
                          "(default: the LAST of --thresh; a trailing 0.5 "
@@ -269,9 +287,14 @@ def main():
         print(f"magnitude model from {args.mag_model} "
               f"(vald {mm.get('vald')})", flush=True)
 
+    # backend-exact query grid: the cached day sweeps' series rows refer to
+    # the TPU-computed kmeans grid (nc_xquery_dump.py); loading it here keeps
+    # CPU re-scoring consistent and skips the per-run kmeans
+    xq_cache = PROJECT_ROOT / "Grids" / f"x_query_{cfg.process.n_query_grid}.npy"
+    x_query = np.load(xq_cache) if xq_cache.exists() else None
     pipe = InferencePipeline(model_inf, params, cfg, ctx, trv.from_cart,
                              verbose=True, sweep_half=args.half,
-                             mag_model=mag_model)
+                             mag_model=mag_model, x_query_grid=x_query)
 
     all_results = {}
     for day in args.days:
@@ -320,6 +343,12 @@ def main():
             all_results[day] = {"sweep_s": round(t_sweep, 1)}
             continue
 
+        trace = None
+        if args.trace_usgs:
+            cat_keep = cat[cat[:, 3] < args.t_end]
+            trace = np.concatenate(
+                (np.asarray(proj.to_cart_np(cat_keep[:, :3])),
+                 cat_keep[:, 3:4]), axis=1)
         day_res = {}
         for th in args.thresh:
             t1 = time.time()
@@ -327,7 +356,8 @@ def main():
             cfg.process.thresh_assoc = th
             events = pipe.process_from_sweep(
                 times_s, series, pick_t.astype(np.float32), pick_sta,
-                pick_ph.astype(np.float32), pick_amp=pick_amp, thresh=th)
+                pick_ph.astype(np.float32), pick_amp=pick_amp, thresh=th,
+                trace=trace)
             res = score(proj, events, cat, ref_srcs, args.t_end)
             res["process_time_s"] = round(t_sweep + time.time() - t1, 1)
             res["sweep_time_s"] = round(t_sweep, 1)   # 0 when cache-hit
