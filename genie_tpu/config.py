@@ -224,6 +224,12 @@ class ProcessConfig:
     sp_win: float = 17.5e3
     break_win: float = 15.0
     cost_assignment: float = 1.5
+    # association windowing: "per_source" anchors one window per candidate
+    # source at the trained query-time center (ref per-source forward_fixed,
+    # process_continuous_days.py:1020-1065); "span" shares one window across
+    # a t_win group (faster, but late sources are queried out of the trained
+    # tq range — loses picks in dense sequences)
+    assoc_mode: str = "per_source"
     max_sources_per_component: int = 15
     max_splits: int = 30
     min_required_picks: int = 8

@@ -157,6 +157,7 @@ class InferencePipeline:
         # station mask/graph are traced arguments everywhere (not closed
         # over): set_station_mask() must take effect on already-compiled fns
         self._assoc_fn = jax.jit(self._assoc_window, static_argnames=("grid",))
+        self._assoc_ps_fn = None  # built lazily in associate_per_source
         self._trunk_fn = jax.jit(self._trunk_window, static_argnames=("grid",))
         self._refine_fn = jax.jit(self._refine_window, static_argnames=("grid",))
         self._refine_batch_fn = None  # built lazily in refine_sources
@@ -668,6 +669,130 @@ class InferencePipeline:
                     ))
         return results
 
+    def associate_per_source(self, pick_t, pick_sta, pick_phase, srcs,
+                             grid: int = 0, vals=None, batch: int = 16):
+        """Reference-semantics association: every candidate source is queried
+        in its OWN pick window anchored so the association query time sits at
+        the center of the trained ``tq_sample`` range (the reference runs one
+        ``forward_fixed`` per refined source with the window built at the
+        source time, process_continuous_days.py:1020-1065).
+
+        The shared-span mode (:meth:`associate`) put up to t_win of sources
+        into one window, so late sources were queried at tq up to 1.25·t_win
+        — outside the trained [0, t_win] range — exactly during dense
+        sequences, which is where the campaign's missed-but-swept events
+        live. Per-source windows cost one trunk per source; with the
+        rasterized featurizer that is ~3 ms each, batched ``batch`` at a
+        time.
+
+        The pick↔source weight graph is then assembled in DAY-global pick
+        indices (each source scores only picks inside its own window),
+        components found, oversized ones spectrally split, and each part
+        solved with the same competitive assignment.
+        """
+        cfg = self.cfg
+        if len(srcs) == 0:
+            return []
+        tq_anchor = cfg.model.t_win / 2.0
+
+        wins, sels, live = [], [], []
+        for i in range(len(srcs)):
+            tp, ip, ph, pm, sel = self._window_picks(
+                pick_t, pick_sta, pick_phase, srcs[i, 3] - tq_anchor)
+            if pm.sum() == 0:
+                continue
+            wins.append((tp, ip, ph, pm))
+            sels.append(sel)
+            live.append(i)
+        if not live:
+            return []
+
+        if self._assoc_ps_fn is None:
+            self._assoc_ps_fn = jax.jit(
+                jax.vmap(self._assoc_window,
+                         in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None)),
+                static_argnums=(9,))
+
+        n_pick_w = cfg.graph.max_picks
+        w_p = np.zeros((len(live), n_pick_w), np.float32)
+        w_s = np.zeros((len(live), n_pick_w), np.float32)
+        tq = jnp.full((batch, 1), jnp.float32(tq_anchor))
+        for s in range(0, len(live), batch):
+            chunk = wins[s:s + batch]
+            idx = live[s:s + batch]
+            pad = batch - len(chunk)
+            if pad:
+                chunk = chunk + [chunk[-1]] * pad
+                idx = idx + [idx[-1]] * pad
+            tp = jnp.asarray(np.stack([c[0] for c in chunk]))
+            ip = jnp.asarray(np.stack([c[1] for c in chunk]))
+            ph = jnp.asarray(np.stack([c[2] for c in chunk]))
+            pm = jnp.asarray(np.stack([c[3] for c in chunk]))
+            xq = jnp.asarray(srcs[idx, :3].astype(np.float32))[:, None, :]
+            arv_p, arv_s = self._assoc_ps_fn(
+                tp, ip, ph, pm, xq, tq, self.sta_mask, self.sta_nbr,
+                self.sta_nbr_valid, grid)
+            n = batch - pad
+            w_p[s:s + n] = np.asarray(arv_p)[:n, 0]
+            w_s[s:s + n] = np.asarray(arv_s)[:n, 0]
+
+        # day-global weight matrix over the union of windowed picks
+        thr = cfg.process.thresh_assoc
+        gids = sorted(set(int(g) for s_i, (tp, ip, ph, pm) in zip(sels, wins)
+                          for g in s_i))  # all pick ids seen by any window
+        gpos = {g: j for j, g in enumerate(gids)}
+        n_src_l, n_gp = len(live), len(gids)
+        W = np.zeros((n_src_l, n_gp, 2), np.float32)
+        for r, (sel, (tp, ip, ph, pm)) in enumerate(zip(sels, wins)):
+            nv = len(sel)
+            wp = np.where(w_p[r, :nv] > thr, w_p[r, :nv], 0.0)
+            ws = np.where(w_s[r, :nv] > thr, w_s[r, :nv], 0.0)
+            cols = [gpos[int(g)] for g in sel]
+            W[r, cols, 0] = np.maximum(W[r, cols, 0], wp)
+            W[r, cols, 1] = np.maximum(W[r, cols, 1], ws)
+
+        gid_arr = np.asarray(gids, np.int64)
+        ip_g = pick_sta[gid_arr]
+        has_w = W.sum(-1) > 0
+        edges = [(q, n_src_l + p) for q in range(n_src_l)
+                 for p in np.where(has_w[q])[0]]
+        labels = connected_components(n_src_l + n_gp, edges)
+        results = []
+        for lab in np.unique(labels[:n_src_l]):
+            qs = np.where(labels[:n_src_l] == lab)[0]
+            ps = np.where(labels[n_src_l:] == lab)[0]
+            if len(ps) == 0:
+                continue
+            if len(qs) > cfg.process.max_sources_per_component:
+                from genie_tpu.infer.split import split_component
+                src_rows = np.asarray(live)[qs]
+                parts = split_component(
+                    W[np.ix_(qs, ps)], ip_g[ps], srcs[src_rows, :3],
+                    srcs[src_rows, 3], cfg.process.max_sources_per_component,
+                    max_splits=cfg.process.max_splits)
+                parts = [(qs[q_l], ps[p_l]) for q_l, p_l in parts]
+            else:
+                parts = [(qs, ps)]
+            for qs_p, ps_p in parts:
+                if len(ps_p) == 0 or len(qs_p) == 0:
+                    continue
+                sub_w = W[np.ix_(qs_p, ps_p)].transpose(1, 0, 2)
+                assign, active = competitive_assignment(
+                    sub_w, ip_g[ps_p], cost=cfg.process.cost_assignment)
+                for qi, q in enumerate(qs_p):
+                    rows = np.where(assign[:, 0] == qi)[0]
+                    if len(rows) == 0:
+                        continue
+                    i_src = live[q]
+                    results.append(CatalogEvent(
+                        pos_cart=srcs[i_src, :3].copy(),
+                        time=float(srcs[i_src, 3]),
+                        picks=gid_arr[ps_p[rows]],
+                        pick_phases=assign[rows, 1].copy(),
+                        score=float(vals[i_src]) if vals is not None else None,
+                    ))
+        return results
+
     # -- stage 7: location + QC ---------------------------------------------
     def _residuals(self, ev, pick_t, pick_sta):
         tt = np.asarray(self.trv(self.ctx.sta_cart,
@@ -860,12 +985,19 @@ class InferencePipeline:
         self._ledger("refine", srcs, trace)
         t_refine = time.time() - t_st
         t_st = time.time()
-        # association windows are t_win-scale: process candidate sources in
-        # disjoint time groups (ref break_win grouping, :851-890), further
-        # chunked so each group spans ≤ t_win (the trained query-time range)
+        # association in disjoint time groups (ref break_win grouping,
+        # :851-890); per_source mode gives each source its own window (no
+        # t_win sub-chunking needed), span mode further chunks each group to
+        # ≤ t_win (the trained query-time range)
         events = []
         for g in split_time_groups(srcs[:, 3], self.cfg.process.break_win):
             g = g[np.argsort(srcs[g, 3])]
+            if self.cfg.process.assoc_mode == "per_source":
+                events.extend(self.associate_per_source(
+                    pick_t, pick_sta, pick_phase,
+                    np.concatenate((srcs[g, :3], srcs[g, 3:4]), axis=1),
+                    vals=svals[g]))
+                continue
             start = 0
             while start < len(g):
                 span_end = srcs[g[start], 3] + self.cfg.model.t_win

@@ -114,6 +114,69 @@ def test_associate_and_locate_with_perfect_weights(monkeypatch):
     assert abs(located[0].time - true_t) < 1.0
 
 
+def test_associate_per_source_two_close_events(monkeypatch):
+    """Per-source association (ref per-source forward_fixed,
+    process_continuous_days.py:1020-1065): two events 8 s apart — inside one
+    t_win, the case where the shared-span window queries the later source
+    beyond the trained tq range — must EACH keep their own picks, with the
+    competitive assignment splitting the shared weight graph."""
+    cfg = tiny_config()
+    cfg.process.min_required_picks = 5
+    cfg.process.min_required_sta = 3
+    cfg.process.assoc_mode = "per_source"
+    ctx, tt = tiny_domain(cfg)
+    model = Detector(src_chunk=4)
+    state = init_train_state(model, cfg, ctx, tt.from_cart, jax.random.PRNGKey(0))
+    pipe = InferencePipeline(model, state.params, cfg, ctx, tt.from_cart)
+
+    n_sta = ctx.sta_cart.shape[0]
+    pos_a = np.array([5e3, -10e3, -8e3], np.float32)
+    pos_b = np.array([-12e3, 8e3, -5e3], np.float32)
+    t_a, t_b = 60.0, 68.0
+    pick_t, pick_sta, pick_ph = [], [], []
+    for pos, t_ev in ((pos_a, t_a), (pos_b, t_b)):
+        trv = np.asarray(tt.from_cart(ctx.sta_cart, jnp.asarray(pos[None])))[0]
+        for st in range(n_sta):
+            pick_t.append(t_ev + trv[st, 0]); pick_sta.append(st); pick_ph.append(0)
+            pick_t.append(t_ev + trv[st, 1]); pick_sta.append(st); pick_ph.append(1)
+    order = np.argsort(pick_t)
+    pick_t = np.array(pick_t, np.float32)[order]
+    pick_sta = np.array(pick_sta, np.int64)[order]
+    pick_ph = np.array(pick_ph, np.float32)[order]
+
+    def oracle_ps(tp, ip, ph, pm, xq, tq, sta_mask, sta_nbr, sta_nbr_valid,
+                  grid):
+        # batched: tp/ip/pm (B, n_pick); xq (B, 1, 3); tq (B, 1)
+        tp, ip, pm = map(np.asarray, (tp, ip, pm))
+        xq, tq = np.asarray(xq), np.asarray(tq)
+        B, n_p = tp.shape
+        w_p = np.zeros((B, 1, n_p), np.float32)
+        w_s = np.zeros((B, 1, n_p), np.float32)
+        for b in range(B):
+            trv_q = np.asarray(tt.from_cart(ctx.sta_cart,
+                                            jnp.asarray(xq[b])))[0]
+            dp = np.abs(tp[b] - (trv_q[ip[b], 0] + tq[b, 0]))
+            ds = np.abs(tp[b] - (trv_q[ip[b], 1] + tq[b, 0]))
+            w_p[b, 0] = np.exp(-0.5 * dp**2 / 1.0) * pm[b]
+            w_s[b, 0] = np.exp(-0.5 * ds**2 / 1.0) * pm[b]
+        return jnp.asarray(w_p), jnp.asarray(w_s)
+
+    monkeypatch.setattr(pipe, "_assoc_ps_fn", oracle_ps)
+    srcs = np.array([[*(pos_a + 500.0), t_a + 0.3],
+                     [*(pos_b - 500.0), t_b - 0.3]], np.float32)
+    events = pipe.associate_per_source(pick_t, pick_sta, pick_ph, srcs,
+                                       vals=np.array([0.5, 0.4]))
+    assert len(events) == 2
+    by_t = sorted(events, key=lambda e: e.time)
+    # each event keeps (mostly) its own picks: planted picks alternate by
+    # event in sorted order, and every pick index is globally unique
+    for ev, t_ev in zip(by_t, (t_a, t_b)):
+        assert len(ev.picks) >= n_sta
+        tt_ev = pick_t[ev.picks]
+        assert np.all(np.abs(tt_ev - t_ev) < 40.0)
+    assert not set(by_t[0].picks) & set(by_t[1].picks)
+
+
 def test_use_subgraph_mode():
     """use_subgraph: a wide ε-ball reproduces the dense sweep exactly; a
     tight ε-ball (few nearest pairs) changes it (ref process_utils.py:744-849)."""
