@@ -243,6 +243,9 @@ def main():
     ap.add_argument("--window-batch", type=int, default=16,
                     help="windows per sweep dispatch (changes the sweep "
                          "checkpoint fingerprint)")
+    ap.add_argument("--assoc-mode", choices=["per_source", "span"],
+                    default=None,
+                    help="association windowing (default: config default)")
     ap.add_argument("--trace-usgs", action="store_true",
                     help="audit the day's USGS events through every post "
                          "stage (per-stage coverage ledger; diagnosis)")
@@ -266,6 +269,8 @@ def main():
     cfg, ctx, proj, trv, sta_lla = build_runtime(
         run_dir, thresh=min(args.thresh), n_query=args.n_query,
         corrections=args.corrections)
+    if args.assoc_mode:
+        cfg.process.assoc_mode = args.assoc_mode
     # grid-ensemble subsetting happens at sweep time (same domain/caches)
     sweep_grids = list(range(args.n_grids)) if args.n_grids else None
     model_inf = Detector(
