@@ -693,7 +693,15 @@ class InferencePipeline:
         cfg = self.cfg
         if len(srcs) == 0:
             return []
-        tq_anchor = cfg.model.t_win / 2.0
+        # anchor windows AT the source time (tq = 0): training's
+        # preferential windows set t0 ≈ ev_time (generator t_sample =
+        # ev_time + (2/3)σ_t·laplace) so real-event association queries
+        # cluster at tq ≈ 0, and the reference's per-source forward_fixed
+        # passes tq_sample = 0 (process_continuous_days.py:1060). A
+        # t_win/2 anchor measured 7/13 targets at the associate stage on
+        # day 2017-278 vs 11/13 for the span mode; tq = 0 is the trained
+        # operating point.
+        tq_anchor = 0.0
 
         wins, sels, live = [], [], []
         for i in range(len(srcs)):

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -106,6 +107,7 @@ def test_detector_forward_shapes_and_grad():
     assert got_nonzero
 
 
+@pytest.mark.slow
 def test_detection_only_matches_full_forward():
     feat, mask, graph, sta_pos, picks, queries = make_tiny_scene(seed=1)
     model = Detector(src_chunk=4)

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -114,6 +115,7 @@ def test_associate_and_locate_with_perfect_weights(monkeypatch):
     assert abs(located[0].time - true_t) < 1.0
 
 
+@pytest.mark.slow
 def test_associate_per_source_two_close_events(monkeypatch):
     """Per-source association (ref per-source forward_fixed,
     process_continuous_days.py:1020-1065): two events 8 s apart — inside one

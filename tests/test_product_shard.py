@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -133,6 +134,7 @@ def test_morton_partition_halo_locality_on_thin_clustered_cloud():
         "lost spatial locality")
 
 
+@pytest.mark.slow
 def test_subgraph_sharded_forward_alltrue_mask_matches_dense():
     """Per-shard station sub-selection with an all-True pair mask must be
     EXACTLY the dense forward (every shard carries every station, the
@@ -167,6 +169,7 @@ def test_subgraph_sharded_forward_alltrue_mask_matches_dense():
                            atol=1e-5), f"x_q mismatch (updated={updated})"
 
 
+@pytest.mark.slow
 def test_subgraph_sharded_src_aggregation_matches_emulation():
     """The frame-remapped source-axis aggregation must equal an independent
     unsharded emulation of the distributed-subgraph semantics: neighbour
