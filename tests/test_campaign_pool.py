@@ -34,16 +34,16 @@ def pool(thresh: str):
 
 def test_pooled_detection_rate_at_operating_point():
     """The published round-5 claim: pooled 10-day detection rate at the
-    0.25 operating point meets or beats the reference GENIE's own shipped
-    detections on the same days (132/141 = 0.936)."""
+    0.25 operating point is 136/141 = 0.965, beating the reference GENIE's
+    own shipped detections on the same days (132/141 = 0.936)."""
     n, m, rm = pool("0.25")
     assert n == 141, f"USGS event pool changed: {n}"
     assert rm == 132, f"reference matched pool changed: {rm}"
-    assert m >= rm, f"pooled parity regressed: {m}/{n} vs reference {rm}/{n}"
+    assert m >= 136, f"published pooled rate regressed: {m}/{n} (claim 136)"
 
 
 def test_pooled_rate_at_reference_threshold_floor():
     """At the reference's own operating point (0.35) the pooled rate must
-    stay at or above the round-4 published floor (115/141)."""
+    stay at the published parity level (132/141 = reference)."""
     n, m, _ = pool("0.35")
-    assert m >= 115, f"0.35 pooled rate regressed: {m}/{n}"
+    assert m >= 132, f"0.35 pooled rate regressed: {m}/{n} (claim 132)"
